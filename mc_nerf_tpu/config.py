@@ -1,0 +1,327 @@
+"""Typed configuration for MC-NeRF-TPU.
+
+Replaces the reference's untyped flat ``sys_param`` dict
+(``config/config_read.py:8-93`` merging ``config/config.yaml`` with argparse
+flags in ``main.py:245-268``) with frozen dataclasses.  Every YAML key and CLI
+flag of the reference is represented; the YAML schema accepted by
+:func:`load_yaml` is the reference's own schema so existing config files work
+unmodified.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """Three-stage training sequence (ref ``config/config.yaml:13-19``)."""
+
+    cam_param_epochs: int = 20      # stage 1: camera parameter initialization
+    global_opt_epochs: int = 16     # stage 2: joint camera + NeRF optimization
+    fine_tune_epochs: int = 16      # stage 3: NeRF fine-tune, poses frozen
+
+    @property
+    def total_epochs(self) -> int:
+        return self.cam_param_epochs + self.global_opt_epochs + self.fine_tune_epochs
+
+    @property
+    def boundaries(self) -> Tuple[int, int, int]:
+        """Cumulative epoch boundaries of the three stages."""
+        s1 = self.cam_param_epochs
+        s2 = s1 + self.global_opt_epochs
+        return (s1, s2, s2 + self.fine_tune_epochs)
+
+    def stage_of_epoch(self, epoch: int) -> int:
+        """0-based stage index for a 0-based epoch (ref ``main.py:210-217``)."""
+        b1, b2, b3 = self.boundaries
+        if epoch < b1:
+            return 0
+        if epoch < b2:
+            return 1
+        if epoch < b3:
+            return 2
+        raise ValueError(f"epoch {epoch} beyond training schedule ({b3} epochs)")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization hyper-parameters (ref ``config/config.yaml:20-30``)."""
+
+    stage1_lr: float = 0.1
+    stage2_lr: float = 5e-4
+    stage3_lr: float = 2.5e-4
+    # stage-1 LR decays exponentially to this floor over the stage
+    # (ref ``main.py:188-189``: gamma = (0.005/lr1)**(1/steps)).
+    stage1_lr_floor: float = 0.005
+    weight_decay: float = 4e-4
+    warmup_epoch: int = 100          # carried from the reference yaml (unused there too)
+    rays_per_batch: int = 7000       # rays sampled per image per step (ref yaml `batch`)
+    images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
+    steps_per_image_epoch: int = 50  # ref expands the dataset 50x (data_read.py:286-297)
+    seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class BarfConfig:
+    """BARF coarse-to-fine frequency schedule (ref ``config/config.yaml:56-61``).
+
+    ``start``/``end`` parameterize the *within-stage-2* ramp; the global
+    progress window is derived as in ref ``data/data_read.py:338-351``.
+    """
+
+    mask: bool = False   # yaml default; stage 2 force-enables the mask regardless
+    start: float = 0.0
+    end: float = 1.0
+
+    def global_window(self, stages: StageConfig) -> Tuple[float, float]:
+        """Map (start, end) into global training-progress coordinates.
+
+        Mirrors ref ``data/data_read.py:338-351``: the ramp begins where
+        stage 2 begins and spans ``end`` of stage 2's extent.
+        """
+        total = float(stages.total_epochs)
+        g_start = stages.cam_param_epochs / total + self.start
+        g_end_raw = (stages.cam_param_epochs + stages.global_opt_epochs) / total
+        g_end = g_start + (g_end_raw - g_start) * self.end
+        return g_start, g_end
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfConfig:
+    """NeRF model/rendering parameters (ref ``config/config.yaml:62-82``)."""
+
+    near: float = 1.0
+    far: float = 8.0
+    samples_coarse: int = 128
+    sample_scale: int = 5            # fine grid = samples_coarse * sample_scale
+    sigma_default: float = -20.0     # raw sigma assigned to unselected fine samples
+    weight_thresh: float = 1e-3      # coarse-weight threshold for fine selection
+    bound_min: float = -3.5
+    bound_max: float = 3.5
+    white_back: bool = True
+    emb_freqs_xyz: int = 10
+    coarse_depth: int = 4
+    coarse_width: int = 128
+    coarse_skips: Tuple[int, ...] = (2,)
+    fine_depth: int = 8
+    fine_width: int = 256
+    fine_skips: Tuple[int, ...] = (4,)
+    sh_deg: int = 2
+    # Per-ray fine-sample budget. The reference caps total fine samples at
+    # rays*128 (mc_nerf.py:630-632), i.e. an *average* of 128/ray; we use a
+    # static per-ray budget of `fine_bins_topk` coarse bins * sample_scale.
+    fine_bins_topk: int = 26
+    # dormant voxel-cache keys kept for config parity (ref dead code
+    # mc_nerf.py:859-867): accepted, never used.
+    grid_nerf: int = 384
+    sigma_init: float = 30.0
+
+    @property
+    def samples_fine_grid(self) -> int:
+        return self.samples_coarse * self.sample_scale
+
+    @property
+    def samples_fine(self) -> int:
+        """Static number of fine samples evaluated per ray."""
+        return self.fine_bins_topk * self.sample_scale
+
+    @property
+    def sh_dim(self) -> int:
+        return 3 * (self.sh_deg + 1) ** 2
+
+    @property
+    def embed_dim(self) -> int:
+        return 3 * (2 * self.emb_freqs_xyz + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Demo/eval parameters (ref ``config/config.yaml:31-36``)."""
+
+    res_h: int = 800
+    res_w: int = 800
+    demo_ckpt: str = ""
+    rays_per_chunk: int = 16384      # rays per jitted render chunk
+
+
+@dataclasses.dataclass(frozen=True)
+class PathsConfig:
+    """Output directory layout (ref ``config/config.yaml:37-49``)."""
+
+    root_weights: str = "./weights"
+    root_out: str = "./results"
+    render_subdir: str = "./img_rendered"
+    log_path: str = "./log"
+    tb_path: str = "./tensorboard"
+    tb_delete_old: bool = False
+
+    @property
+    def render_dir(self) -> str:
+        return os.path.join(self.root_out, self.render_subdir)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh configuration (replaces torch DDP, ref utils/distributed_init.py)."""
+
+    # number of devices for the data axis; 0 = use all local devices
+    data_parallel: int = 0
+    mesh_axis: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # CLI-level settings (ref ``main.py:245-268``)
+    data_root: str = "./data/dataset_Ball"
+    data_name: str = "Ball_Computer"
+    mode: int = 0                    # 0 = train, 1 = demo (ref config_read.py:78-81)
+    log_to_file: bool = False
+    tensorboard: bool = False
+    start_device: int = 0            # kept for CLI parity; meaningless on TPU
+    apriltag_size: float = 1.0
+
+    stages: StageConfig = dataclasses.field(default_factory=StageConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    barf: BarfConfig = dataclasses.field(default_factory=BarfConfig)
+    nerf: NerfConfig = dataclasses.field(default_factory=NerfConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    paths: PathsConfig = dataclasses.field(default_factory=PathsConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    # numeric policy: params fp32; activations in compute_dtype on the hot path
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def scene_dir(self) -> str:
+        """<data_root>/<data_name>, the directory holding transforms_*.json."""
+        return os.path.join(self.data_root, self.data_name)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml(path: str, base: Optional[Config] = None) -> Config:
+    """Build a :class:`Config` from a reference-format ``config.yaml``.
+
+    Accepts the exact schema of the reference yaml (``config/config.yaml``);
+    missing keys fall back to dataclass defaults.
+    """
+    cfg = base or Config()
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+
+    sys_info = raw.get("system", {})
+    model = raw.get("model", {})
+
+    def get(d, *keys, default=None):
+        for k in keys:
+            if not isinstance(d, dict) or k not in d:
+                return default
+            d = d[k]
+        return d
+
+    stages = StageConfig(
+        cam_param_epochs=get(sys_info, "epoch", "cam_param_stage", default=cfg.stages.cam_param_epochs),
+        global_opt_epochs=get(sys_info, "epoch", "global_opt_stage", default=cfg.stages.global_opt_epochs),
+        fine_tune_epochs=get(sys_info, "epoch", "fine_tune_stage", default=cfg.stages.fine_tune_epochs),
+    )
+    train = dataclasses.replace(
+        cfg.train,
+        stage1_lr=get(sys_info, "train_params", "stage_1_lr", default=cfg.train.stage1_lr),
+        stage2_lr=get(sys_info, "train_params", "stage_2_lr", default=cfg.train.stage2_lr),
+        stage3_lr=get(sys_info, "train_params", "stage_3_lr", default=cfg.train.stage3_lr),
+        weight_decay=get(sys_info, "train_params", "weight_decay", default=cfg.train.weight_decay),
+        warmup_epoch=get(sys_info, "train_params", "warmup_epoch", default=cfg.train.warmup_epoch),
+        rays_per_batch=get(sys_info, "train_params", "batch", default=cfg.train.rays_per_batch),
+        seed=get(sys_info, "data", "seed", default=cfg.train.seed),
+    )
+    barf = BarfConfig(
+        mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),
+        start=get(model, "barf", "barf_start", default=cfg.barf.start),
+        end=get(model, "barf", "barf_end", default=cfg.barf.end),
+    )
+    nerf = dataclasses.replace(
+        cfg.nerf,
+        near=get(model, "nerf", "near", default=cfg.nerf.near),
+        far=get(model, "nerf", "far", default=cfg.nerf.far),
+        samples_coarse=get(model, "nerf", "samples", default=cfg.nerf.samples_coarse),
+        sample_scale=get(model, "nerf", "sample_scale", default=cfg.nerf.sample_scale),
+        sigma_default=get(model, "nerf", "sigma_default", default=cfg.nerf.sigma_default),
+        weight_thresh=get(model, "nerf", "weight_thresh", default=cfg.nerf.weight_thresh),
+        bound_min=get(model, "nerf", "global_boader_min", default=cfg.nerf.bound_min),
+        bound_max=get(model, "nerf", "global_boader_max", default=cfg.nerf.bound_max),
+        white_back=get(model, "nerf", "white_back", default=cfg.nerf.white_back),
+        emb_freqs_xyz=get(model, "nerf", "emb_freqs_xyz", default=cfg.nerf.emb_freqs_xyz),
+        coarse_depth=get(model, "nerf", "coarse_MLP_depth", default=cfg.nerf.coarse_depth),
+        coarse_width=get(model, "nerf", "coarse_MLP_width", default=cfg.nerf.coarse_width),
+        coarse_skips=tuple(get(model, "nerf", "coarse_MLP_skip", default=list(cfg.nerf.coarse_skips))),
+        fine_depth=get(model, "nerf", "fine_MLP_depth", default=cfg.nerf.fine_depth),
+        fine_width=get(model, "nerf", "fine_MLP_width", default=cfg.nerf.fine_width),
+        fine_skips=tuple(get(model, "nerf", "fine_MLP_skip", default=list(cfg.nerf.fine_skips))),
+        sh_deg=get(model, "nerf", "MLP_deg", default=cfg.nerf.sh_deg),
+        grid_nerf=get(model, "nerf", "grid_nerf", default=cfg.nerf.grid_nerf),
+        sigma_init=get(model, "nerf", "sigma_init", default=cfg.nerf.sigma_init),
+    )
+    evalc = dataclasses.replace(
+        cfg.eval,
+        res_h=get(sys_info, "test_params", "resolution_h", default=cfg.eval.res_h),
+        res_w=get(sys_info, "test_params", "resolution_w", default=cfg.eval.res_w),
+        demo_ckpt=get(sys_info, "test_params", "nerf_model_name", default=cfg.eval.demo_ckpt),
+    )
+    paths = dataclasses.replace(
+        cfg.paths,
+        root_weights=get(sys_info, "weights_params", "root_weights", default=cfg.paths.root_weights),
+        root_out=get(sys_info, "out_params", "root_out", default=cfg.paths.root_out),
+        render_subdir=get(sys_info, "out_params", "test_enerf_pth", default=cfg.paths.render_subdir),
+        log_path=get(sys_info, "log_params", "logpath", default=cfg.paths.log_path),
+        tb_path=get(sys_info, "tensorboard_params", "tb_pth", default=cfg.paths.tb_path),
+        tb_delete_old=get(sys_info, "tensorboard_params", "del_mode", default=cfg.paths.tb_delete_old),
+    )
+    return dataclasses.replace(
+        cfg,
+        apriltag_size=get(sys_info, "apriltag", "tag_size", default=cfg.apriltag_size),
+        stages=stages, train=train, barf=barf, nerf=nerf, eval=evalc, paths=paths,
+    )
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI flags with the reference's exact surface (ref ``main.py:245-268``)."""
+    p = argparse.ArgumentParser(description="MC-NeRF-TPU")
+    p.add_argument("--config", type=str, default="./config",
+                   help="root path of config file (directory containing config.yaml)")
+    p.add_argument("--root_data", type=str, default="./data/dataset_Ball",
+                   help="root path of data")
+    p.add_argument("--data_name", type=str, default="Ball_Computer",
+                   help="name of data")
+    p.add_argument("--demo", action="store_true",
+                   help="nerf rendering forward with test mode")
+    p.add_argument("--train", action="store_true", help="train mode")
+    p.add_argument("--log", action="store_true",
+                   help="save log information to a log file")
+    p.add_argument("--start_device", type=int, default=0,
+                   help="start device index (CLI parity with the reference; no-op on TPU)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write tensorboard scalars during training")
+    return p
+
+
+def from_args(args: argparse.Namespace) -> Config:
+    """Merge CLI args with the YAML config (ref ``config/config_read.py:8-93``)."""
+    yaml_path = os.path.join(Path(args.config), Path("config.yaml"))
+    cfg = load_yaml(yaml_path) if os.path.exists(yaml_path) else Config()
+    mode = 1 if args.demo and not args.train else 0
+    return cfg.replace(
+        data_root=args.root_data,
+        data_name=args.data_name,
+        mode=mode,
+        log_to_file=args.log,
+        tensorboard=args.tensorboard,
+        start_device=args.start_device,
+    )

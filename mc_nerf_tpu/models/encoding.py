@@ -1,0 +1,65 @@
+"""Sinusoidal positional encoding with the BARF coarse-to-fine mask.
+
+Channel layout matches the reference (``model/net_block.py:6-35``):
+``[x (3) | per-dim: sin(f0..fL-1), cos(f0..fL-1)]`` so the BARF mask applies
+per-frequency to contiguous groups of L channels.  The mask gates octave k by
+training progress remapped into [barf_start, barf_end] with a cosine ramp
+(``net_block.py:26-32``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def barf_weights(
+    n_freqs: int,
+    step_r: jnp.ndarray,
+    barf_start: float,
+    barf_end: float,
+) -> jnp.ndarray:
+    """Per-frequency BARF gate in [0, 1].
+
+    alpha = (step_r - start)/(end - start) * L; octave k ramps up with a
+    half-cosine as alpha crosses [k, k+1] (ref ``net_block.py:27-29``).
+
+    Args:
+      n_freqs: number of octaves L (static).
+      step_r: scalar global training progress in [0, 1] (traced).
+      barf_start/barf_end: global progress window of the ramp.
+
+    Returns:
+      [L] weights.
+    """
+    alpha = (step_r - barf_start) / (barf_end - barf_start) * n_freqs
+    k = jnp.arange(n_freqs, dtype=jnp.float32)
+    return (1.0 - jnp.cos(jnp.clip(alpha - k, 0.0, 1.0) * jnp.pi)) / 2.0
+
+
+def sincos_encode(
+    x: jnp.ndarray,
+    n_freqs: int,
+    freq_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Positional-encode points.
+
+    Args:
+      x: [..., 3] coordinates.
+      n_freqs: octave count L (static); frequencies are 2^0 .. 2^(L-1).
+      freq_weights: optional [L] BARF gate; None means no masking (the
+        reference's barf_mode=False path).
+
+    Returns:
+      [..., 3*(2L+1)] encoded features ``[x, sin/cos spectrum]``.
+    """
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=x.dtype)
+    spectrum = x[..., None] * freqs                  # [..., 3, L]
+    sin = jnp.sin(spectrum)
+    cos = jnp.cos(spectrum)
+    if freq_weights is not None:
+        w = freq_weights.astype(x.dtype)
+        sin = sin * w
+        cos = cos * w
+    enc = jnp.stack([sin, cos], axis=-2)             # [..., 3, 2, L]
+    enc = enc.reshape(*x.shape[:-1], 3 * 2 * n_freqs)
+    return jnp.concatenate([x, enc], axis=-1)

@@ -1,0 +1,110 @@
+"""Functional coarse/fine NeRF MLP.
+
+Architecture mirrors the reference ``CorseFine_NeRF`` (``model/net_block.py:37-78``):
+`depth` ReLU layers with a skip-concat of the encoded input at ``skips``, then
+two 2-layer heads emitting raw density and SH color coefficients.  The rgb is
+``sigmoid(eval_sh(sh, view_dir))`` — evaluated by the renderer so the SH basis
+can be computed once per ray instead of once per sample.
+
+Implementation is a plain parameter pytree + pure apply function:
+  * params live in fp32; matmuls run in a configurable compute dtype
+    (bfloat16 on TPU MXU by default) with fp32 accumulation;
+  * all shapes static; the sample axis is flattened into one big matmul
+    batch, which is exactly what the MXU wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NerfMLPParams(NamedTuple):
+    """Weights for one (coarse or fine) NeRF MLP.
+
+    trunk_w/trunk_b: tuples of [in, width] / [width] arrays, one per layer.
+    sigma_*: 2-layer density head (width -> width -> 1).
+    sh_*: 2-layer SH head (width -> width -> 3*(deg+1)**2).
+    """
+
+    trunk_w: Tuple[jnp.ndarray, ...]
+    trunk_b: Tuple[jnp.ndarray, ...]
+    sigma_w0: jnp.ndarray
+    sigma_b0: jnp.ndarray
+    sigma_w1: jnp.ndarray
+    sigma_b1: jnp.ndarray
+    sh_w0: jnp.ndarray
+    sh_b0: jnp.ndarray
+    sh_w1: jnp.ndarray
+    sh_b1: jnp.ndarray
+
+
+def _linear_init(key, fan_in: int, fan_out: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both W and b.
+
+    Matches torch ``nn.Linear`` default init (kaiming_uniform(a=sqrt(5)) for
+    weights + fan-in-bounded uniform bias), which the reference relies on.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / (fan_in ** 0.5)
+    w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return w, b
+
+
+def init_nerf_mlp(
+    key: jax.Array,
+    in_dim: int,
+    depth: int,
+    width: int,
+    skips: Sequence[int],
+    sh_dim: int,
+) -> NerfMLPParams:
+    """Initialize one NeRF MLP (coarse: 4x128 skip@2; fine: 8x256 skip@4)."""
+    keys = jax.random.split(key, depth + 4)
+    trunk_w, trunk_b = [], []
+    for i in range(depth):
+        fan_in = in_dim if i == 0 else (width + in_dim if i in skips else width)
+        w, b = _linear_init(keys[i], fan_in, width)
+        trunk_w.append(w)
+        trunk_b.append(b)
+    sw0, sb0 = _linear_init(keys[depth], width, width)
+    sw1, sb1 = _linear_init(keys[depth + 1], width, 1)
+    hw0, hb0 = _linear_init(keys[depth + 2], width, width)
+    hw1, hb1 = _linear_init(keys[depth + 3], width, sh_dim)
+    return NerfMLPParams(
+        tuple(trunk_w), tuple(trunk_b), sw0, sb0, sw1, sb1, hw0, hb0, hw1, hb1
+    )
+
+
+def apply_nerf_mlp(
+    params: NerfMLPParams,
+    x_enc: jnp.ndarray,
+    skips: Sequence[int],
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the trunk + heads.
+
+    Args:
+      params: fp32 parameter pytree.
+      x_enc: [..., in_dim] positionally-encoded points.
+      skips: static skip-layer indices.
+      compute_dtype: matmul dtype (bf16 on TPU; fp32 exact mode for tests).
+
+    Returns:
+      (sigma_raw [..., 1], sh [..., sh_dim]) in fp32.
+    """
+    x0 = x_enc.astype(compute_dtype)
+    h = x0
+    for i, (w, b) in enumerate(zip(params.trunk_w, params.trunk_b)):
+        if i in skips:
+            h = jnp.concatenate([x0, h], axis=-1)
+        h = h @ w.astype(compute_dtype) + b.astype(compute_dtype)
+        h = jax.nn.relu(h)
+    s = jax.nn.relu(h @ params.sigma_w0.astype(compute_dtype) + params.sigma_b0.astype(compute_dtype))
+    sigma = s @ params.sigma_w1.astype(compute_dtype) + params.sigma_b1.astype(compute_dtype)
+    c = jax.nn.relu(h @ params.sh_w0.astype(compute_dtype) + params.sh_b0.astype(compute_dtype))
+    sh = c @ params.sh_w1.astype(compute_dtype) + params.sh_b1.astype(compute_dtype)
+    return sigma.astype(jnp.float32), sh.astype(jnp.float32)

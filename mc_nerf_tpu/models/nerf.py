@@ -1,0 +1,177 @@
+"""The coarse/fine NeRF renderer: encode -> MLP -> SH shade -> composite.
+
+Functional replacement for the reference's ``NeRF_Model``
+(``model/mc_nerf.py:543-736``), with the dynamic fine-sample selection
+re-formulated as static per-ray top-k (see ``mc_nerf_tpu.ops.volume``).
+
+Everything here is shape-static and jit/vmap/shard_map friendly; the ray
+axis is embarrassingly parallel, so data parallelism shards it untouched.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_nerf_tpu.config import NerfConfig
+from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
+from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
+from mc_nerf_tpu.models.sh import sh_basis
+from mc_nerf_tpu.ops.volume import (
+    composite,
+    compute_deltas,
+    expand_bins_to_samples,
+    select_fine_bins,
+    sigma_to_weights,
+)
+
+
+class NerfParams(NamedTuple):
+    coarse: NerfMLPParams
+    fine: NerfMLPParams
+
+
+def init_nerf_params(key: jax.Array, cfg: NerfConfig) -> NerfParams:
+    kc, kf = jax.random.split(key)
+    coarse = init_nerf_mlp(
+        kc, cfg.embed_dim, cfg.coarse_depth, cfg.coarse_width, cfg.coarse_skips, cfg.sh_dim
+    )
+    fine = init_nerf_mlp(
+        kf, cfg.embed_dim, cfg.fine_depth, cfg.fine_width, cfg.fine_skips, cfg.sh_dim
+    )
+    return NerfParams(coarse, fine)
+
+
+def _shade(
+    mlp: NerfMLPParams,
+    skips,
+    xyz: jnp.ndarray,
+    basis: jnp.ndarray,
+    cfg: NerfConfig,
+    freq_w: Optional[jnp.ndarray],
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode points, run the MLP, shade SH -> (sigma [R,S], rgb [R,S,3]).
+
+    The SH basis is per-ray ([R, B]) and reused across the sample axis —
+    cheaper than the reference's per-sample direction expansion
+    (mc_nerf.py:688).
+    """
+    x_enc = sincos_encode(xyz, cfg.emb_freqs_xyz, freq_w)
+    sigma, sh = apply_nerf_mlp(mlp, x_enc, skips, compute_dtype)
+    r, s = xyz.shape[0], xyz.shape[1]
+    sh = sh.reshape(r, s, 3, (cfg.sh_deg + 1) ** 2)
+    rgb_raw = jnp.einsum("rscb,rb->rsc", sh, basis)
+    return sigma[..., 0], jax.nn.sigmoid(rgb_raw)
+
+
+def render_rays_train(
+    params: NerfParams,
+    rays_d: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    key: jax.Array,
+    step_r: jnp.ndarray,
+    cfg: NerfConfig,
+    barf_window: Tuple[float, float],
+    barf_on: bool,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training render: coarse + hierarchical fine pass with sigma noise.
+
+    Mirrors ref ``render_rays_train`` (mc_nerf.py:598-646):
+      * coarse z = linspace(near, far, Sc) + per-ray shared uniform jitter;
+      * coarse weights (fresh noise draw) drive fine-bin selection;
+      * fine z grid = linspace(near, far, Sc*scale) + the same jitter;
+      * unselected fine samples behave as sigma_default / white.
+
+    Returns (rgb_coarse [R,3], rgb_fine [R,3]).
+    """
+    kj, kn_c, kn_sel, kn_f = jax.random.split(key, 4)
+    n_rays = rays_d.shape[0]
+    sc = cfg.samples_coarse
+
+    z_c = jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)
+    jitter = jax.random.uniform(
+        kj, (n_rays, 1), jnp.float32, 0.0, (cfg.far - cfg.near) / sc
+    )
+    z_c = z_c[None, :] + jitter                                     # [R, Sc]
+
+    freq_w = (
+        barf_weights(cfg.emb_freqs_xyz, step_r, barf_window[0], barf_window[1])
+        if barf_on
+        else None
+    )
+    basis = sh_basis(cfg.sh_deg, rays_d)                            # [R, B]
+
+    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
+    sigma_c, rgb_c = _shade(
+        params.coarse, cfg.coarse_skips, xyz_c, basis, cfg, freq_w, compute_dtype
+    )
+    out_c = composite(z_c, sigma_c, rgb_c, noise_key=kn_c, white_back=cfg.white_back)
+
+    # --- fine-bin selection (no gradients, fresh noise: ref mc_nerf.py:613-621)
+    deltas_c = compute_deltas(z_c, last_inf=True)
+    w_sel = sigma_to_weights(deltas_c, jax.lax.stop_gradient(sigma_c), kn_sel)
+    bin_idx, valid = select_fine_bins(w_sel, cfg.fine_bins_topk, cfg.weight_thresh)
+    sample_idx, sample_valid = expand_bins_to_samples(bin_idx, valid, cfg.sample_scale)
+
+    # fine z grid shares the coarse jitter (ref mc_nerf.py:633-634)
+    sf = cfg.samples_fine_grid
+    z_grid_f = jnp.linspace(cfg.near, cfg.far, sf, dtype=jnp.float32)
+    z_f = jnp.take(z_grid_f, sample_idx) + jitter                   # [R, Kf]
+
+    xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+    sigma_f, rgb_f = _shade(
+        params.fine, cfg.fine_skips, xyz_f, basis, cfg, freq_w, compute_dtype
+    )
+    sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
+    rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
+    out_f = composite(
+        z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back, last_inf=False
+    )
+    return out_c.rgb, out_f.rgb
+
+
+def render_rays_eval(
+    params: NerfParams,
+    rays_d: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    cfg: NerfConfig,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
+
+    Returns (rgb [R,3], depth [R,1], opacity [R,1]) from the fine pass.
+    """
+    n_rays = rays_d.shape[0]
+    sc = cfg.samples_coarse
+    z_c = jnp.broadcast_to(
+        jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)[None, :], (n_rays, sc)
+    )
+    basis = sh_basis(cfg.sh_deg, rays_d)
+
+    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
+    sigma_c, _rgb_c = _shade(
+        params.coarse, cfg.coarse_skips, xyz_c, basis, cfg, None, compute_dtype
+    )
+    deltas_c = compute_deltas(z_c, last_inf=True)
+    w_sel = sigma_to_weights(deltas_c, sigma_c, noise_key=None)
+    bin_idx, valid = select_fine_bins(w_sel, cfg.fine_bins_topk, cfg.weight_thresh)
+    sample_idx, sample_valid = expand_bins_to_samples(bin_idx, valid, cfg.sample_scale)
+
+    sf = cfg.samples_fine_grid
+    z_grid_f = jnp.linspace(cfg.near, cfg.far, sf, dtype=jnp.float32)
+    z_f = jnp.take(z_grid_f, sample_idx)
+
+    xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+    sigma_f, rgb_f = _shade(
+        params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+    )
+    sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
+    rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
+    out = composite(
+        z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back, last_inf=False
+    )
+    return out.rgb, out.depth, out.opacity

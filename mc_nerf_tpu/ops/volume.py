@@ -1,0 +1,187 @@
+"""Volume-rendering math: alpha compositing and static-shape fine selection.
+
+Reimplements the reference's stochastic compositing (``model/mc_nerf.py:682-736``)
+and replaces its dynamic-shape hierarchical sampling (``torch.nonzero`` +
+random cap, ``mc_nerf.py:613-632``) with a fixed-budget per-ray top-k —
+static shapes are a hard requirement for XLA/TPU.
+
+Semantics preserved from the reference:
+  * ``sigma_to_weights``: alpha = 1 - exp(-softplus(sigma + noise) * delta);
+    weights = alpha * cumprod([1, 1-alpha+1e-10])[:-1]  (mc_nerf.py:729-736).
+  * the rgb composite uses those (optionally noisy) weights; depth/opacity
+    use the noise-free transmittance path (mc_nerf.py:705-727).
+  * unselected fine samples behave as sigma_default=-20, rgb=1
+    (mc_nerf.py:692-694): alpha ~ 2e-9 per grid step, i.e. transparent.
+
+Deliberate deviations (documented behavioral-parity exceptions):
+  * fine budget is per-ray top-k bins instead of a global random cap — the
+    reference caps *average* fine samples at 128/ray (mc_nerf.py:630-632);
+    we keep >= that budget deterministically per ray.
+  * eval adds no sigma noise (the reference injects N(0,1) noise even in its
+    test path — a quality bug we do not replicate).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_deltas(z_vals: jnp.ndarray, last_inf: bool = True) -> jnp.ndarray:
+    """Inter-sample distances along the ray.
+
+    Args:
+      z_vals: [..., S] sorted sample depths.
+      last_inf: append 1e10 as the final delta (ref mc_nerf.py:708-710);
+        otherwise repeat the final spacing (used for gathered fine subsets,
+        where the white background is added explicitly instead).
+
+    Returns:
+      [..., S] deltas.
+    """
+    d = z_vals[..., 1:] - z_vals[..., :-1]
+    if last_inf:
+        last = jnp.full_like(d[..., :1], 1e10)
+    else:
+        last = d[..., -1:]
+    return jnp.concatenate([d, last], axis=-1)
+
+
+def sigma_to_weights(
+    deltas: jnp.ndarray,
+    sigma: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Compositing weights from raw densities (ref ``sigma2weights``).
+
+    Args:
+      deltas: [..., S] distances.
+      sigma: [..., S] raw density outputs.
+      noise_key: if given, adds N(0, 1) noise to sigma before the softplus —
+        the reference's training-time regularizer (mc_nerf.py:730-731).
+
+    Returns:
+      [..., S] weights (alpha-composited contribution of each sample).
+    """
+    if noise_key is not None:
+        sigma = sigma + jax.random.normal(noise_key, sigma.shape, sigma.dtype)
+    alpha = 1.0 - jnp.exp(-deltas * jax.nn.softplus(sigma))
+    # T_i = prod_{j<i} (1 - alpha_j + 1e-10), exclusive
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha[..., :-1] + 1e-10], axis=-1
+    )
+    return alpha * jnp.cumprod(shifted, axis=-1)
+
+
+class CompositeResult(NamedTuple):
+    rgb: jnp.ndarray       # [..., 3]
+    depth: jnp.ndarray     # [..., 1]
+    opacity: jnp.ndarray   # [..., 1]
+    weights: jnp.ndarray   # [..., S] (the rgb-path weights, possibly noisy)
+
+
+def composite(
+    z_vals: jnp.ndarray,
+    sigma: jnp.ndarray,
+    rgb: jnp.ndarray,
+    noise_key: Optional[jax.Array] = None,
+    white_back: bool = True,
+    last_inf: bool = True,
+) -> CompositeResult:
+    """Alpha-composite per-sample density/color into per-ray outputs.
+
+    Mirrors ref ``inference`` (mc_nerf.py:705-727): the rgb uses
+    ``sigma_to_weights`` (optionally noisy); depth/opacity use the noise-free
+    exp-cumsum transmittance.  Ray directions are unit-norm upstream, so
+    ``dist = delta`` (ref multiplies by ||rays_d|| == 1).
+
+    Args:
+      z_vals: [..., S] sample depths (sorted).
+      sigma: [..., S] raw densities.
+      rgb: [..., S, 3] per-sample colors.
+      noise_key: PRNG key for training-time sigma noise (None = eval).
+      white_back: add (1 - sum w) white background (ref mc_nerf.py:724-725).
+      last_inf: see :func:`compute_deltas`.
+    """
+    deltas = compute_deltas(z_vals, last_inf=last_inf)
+    sigma_delta = jax.nn.softplus(sigma) * deltas
+    alpha = 1.0 - jnp.exp(-sigma_delta)
+    t_exclusive = jnp.exp(
+        -jnp.cumsum(
+            jnp.concatenate([jnp.zeros_like(sigma_delta[..., :1]), sigma_delta[..., :-1]], axis=-1),
+            axis=-1,
+        )
+    )
+    prob = t_exclusive * alpha
+    opacity = jnp.sum(prob, axis=-1, keepdims=True)
+    depth = jnp.sum(z_vals * prob, axis=-1, keepdims=True)
+
+    weights = sigma_to_weights(deltas, sigma, noise_key)
+    rgb_out = jnp.sum(weights[..., None] * rgb, axis=-2)
+    if white_back:
+        rgb_out = rgb_out + (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+    return CompositeResult(rgb_out, depth, opacity, weights)
+
+
+def select_fine_bins(
+    weights_coarse: jnp.ndarray,
+    k: int,
+    weight_thresh: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape replacement for the reference's fine-bin selection.
+
+    Reference semantics (mc_nerf.py:623-632): keep every coarse bin with
+    weight >= min(thresh, global_max), expand each into ``sample_scale``
+    fine samples, randomly cap the *total* at rays*128.  Here: per-ray top-k
+    bins by weight, masked by the same min(thresh, global_max) cutoff, and
+    returned in ascending-z order.  Bins below the cutoff keep their slot but
+    are flagged invalid; the renderer substitutes sigma_default/rgb defaults
+    for them, matching the reference's treatment of unevaluated samples.
+
+    Args:
+      weights_coarse: [R, S] coarse compositing weights (stop-gradient'd by
+        the caller, as in the reference's ``with torch.no_grad()``).
+      k: static per-ray bin budget.
+      weight_thresh: the yaml ``weight_thresh`` (1e-3).
+
+    Returns:
+      (bin_idx [R, k] int32 ascending per ray, valid [R, k] bool).
+    """
+    cutoff = jnp.minimum(weight_thresh, jnp.max(weights_coarse))
+    top_w, top_idx = jax.lax.top_k(weights_coarse, k)          # [R, k]
+    valid = top_w >= cutoff
+    # push invalid slots to the end, then restore ascending z order
+    num_bins = weights_coarse.shape[-1]
+    sort_key = jnp.where(valid, top_idx, num_bins)
+    order = jnp.argsort(sort_key, axis=-1)
+    bin_idx = jnp.take_along_axis(top_idx, order, axis=-1)
+    valid = jnp.take_along_axis(valid, order, axis=-1)
+    bin_idx = jnp.where(valid, bin_idx, num_bins - 1)          # clamp for safe gathers
+    return bin_idx.astype(jnp.int32), valid
+
+
+def expand_bins_to_samples(
+    bin_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    sample_scale: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand selected coarse bins into fine-grid sample indices.
+
+    Each coarse bin b owns fine-grid slots [b*scale, (b+1)*scale) — the
+    reference's index arithmetic at mc_nerf.py:628.
+
+    Args:
+      bin_idx: [R, k] selected coarse-bin indices (ascending).
+      valid: [R, k] validity mask.
+      sample_scale: fine samples per coarse bin (static).
+
+    Returns:
+      (sample_idx [R, k*scale] int32, sample_valid [R, k*scale] bool).
+    """
+    offsets = jnp.arange(sample_scale, dtype=bin_idx.dtype)
+    sample_idx = bin_idx[..., None] * sample_scale + offsets   # [R, k, scale]
+    sample_valid = jnp.broadcast_to(valid[..., None], sample_idx.shape)
+    flat = sample_idx.shape[:-2] + (sample_idx.shape[-2] * sample_scale,)
+    return sample_idx.reshape(flat), sample_valid.reshape(flat)

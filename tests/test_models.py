@@ -1,0 +1,155 @@
+"""Tests for SH evaluation, positional encoding (BARF), and the NeRF MLP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_nerf_tpu.models import (
+    apply_nerf_mlp,
+    barf_weights,
+    eval_sh,
+    init_nerf_mlp,
+    sincos_encode,
+)
+from mc_nerf_tpu.models.sh import sh_basis
+
+
+# --- SH -------------------------------------------------------------------
+
+def _ref_eval_sh(deg, sh, dirs):
+    """Literal numpy transcription of ref model/net_utils.py:103-191."""
+    C0 = 0.28209479177387814
+    C1 = 0.4886025119029199
+    C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+          -1.0925484305920792, 0.5462742152960396]
+    result = C0 * sh[..., 0]
+    if deg > 0:
+        x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
+        result = (result - C1 * y * sh[..., 1] + C1 * z * sh[..., 2]
+                  - C1 * x * sh[..., 3])
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result + C2[0] * xy * sh[..., 4] + C2[1] * yz * sh[..., 5]
+                      + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
+                      + C2[3] * xz * sh[..., 7] + C2[4] * (xx - yy) * sh[..., 8])
+    return result
+
+
+def test_eval_sh_matches_reference(rng):
+    for deg in [0, 1, 2]:
+        n_coef = (deg + 1) ** 2
+        sh = rng.normal(size=(50, 3, n_coef)).astype(np.float32)
+        dirs = rng.normal(size=(50, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        ours = np.asarray(eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs)))
+        ref = _ref_eval_sh(deg, sh, dirs)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_sh_basis_constant_term():
+    dirs = jnp.array([[0.0, 0.0, 1.0]])
+    b = sh_basis(0, dirs)
+    np.testing.assert_allclose(b, [[0.28209479177387814]], rtol=1e-7)
+
+
+def test_eval_sh_deg4_shapes(rng):
+    sh = jnp.asarray(rng.normal(size=(7, 3, 25)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(7, 3)).astype(np.float32))
+    out = eval_sh(4, sh, dirs)
+    assert out.shape == (7, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# --- encoding ---------------------------------------------------------------
+
+def _ref_encode(x, n_freqs, barf=None):
+    """Numpy transcription of ref model/net_block.py:20-33 (barf optional)."""
+    freqs = 2.0 ** np.arange(n_freqs)
+    spectrum = x[..., None] * freqs          # [N, 3, L]
+    sin, cos = np.sin(spectrum), np.cos(spectrum)
+    enc = np.stack([sin, cos], axis=-2)      # [N, 3, 2, L]
+    enc = enc.reshape(x.shape[0], -1)
+    if barf is not None:
+        shape = enc.shape
+        enc = enc.reshape(-1, n_freqs) * barf
+        enc = enc.reshape(shape[0], -1)
+    return np.concatenate([x, enc], axis=-1)
+
+
+def test_encode_matches_reference_layout(rng):
+    x = rng.normal(size=(20, 3)).astype(np.float32)
+    ours = np.asarray(sincos_encode(jnp.asarray(x), 10))
+    ref = _ref_encode(x, 10)
+    assert ours.shape == (20, 63)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_encode_with_barf_matches_reference(rng):
+    x = rng.normal(size=(20, 3)).astype(np.float32)
+    step_r, start, end = 0.5, 20 / 52, 36 / 52
+    w = np.asarray(barf_weights(10, jnp.asarray(step_r), start, end))
+    # reference formula (net_block.py:27-29)
+    alpha = (step_r - start) / (end - start) * 10
+    k = np.arange(10, dtype=np.float32)
+    w_ref = (1 - np.cos(np.clip(alpha - k, 0, 1) * np.pi)) / 2
+    np.testing.assert_allclose(w, w_ref, atol=1e-6)
+
+    ours = np.asarray(sincos_encode(jnp.asarray(x), 10, jnp.asarray(w)))
+    ref = _ref_encode(x, 10, barf=w_ref)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_barf_weights_endpoints():
+    # before the window: all octaves off; after: all on
+    np.testing.assert_allclose(barf_weights(10, jnp.asarray(0.0), 0.4, 0.7), np.zeros(10), atol=1e-7)
+    np.testing.assert_allclose(barf_weights(10, jnp.asarray(1.0), 0.4, 0.7), np.ones(10), atol=1e-7)
+
+
+# --- MLP --------------------------------------------------------------------
+
+def test_mlp_shapes_and_finiteness(rng):
+    key = jax.random.PRNGKey(0)
+    params = init_nerf_mlp(key, in_dim=63, depth=4, width=128, skips=(2,), sh_dim=27)
+    x = jnp.asarray(rng.normal(size=(17, 5, 63)).astype(np.float32))
+    sigma, sh = apply_nerf_mlp(params, x, skips=(2,), compute_dtype=jnp.float32)
+    assert sigma.shape == (17, 5, 1)
+    assert sh.shape == (17, 5, 27)
+    assert bool(jnp.all(jnp.isfinite(sigma))) and bool(jnp.all(jnp.isfinite(sh)))
+
+
+def test_mlp_skip_concat_changes_with_input(rng):
+    """Skip layers must re-inject the encoded input (ref net_block.py:69-72)."""
+    key = jax.random.PRNGKey(1)
+    params = init_nerf_mlp(key, in_dim=63, depth=4, width=32, skips=(2,), sh_dim=27)
+    x1 = jnp.asarray(rng.normal(size=(4, 63)).astype(np.float32))
+    s1, _ = apply_nerf_mlp(params, x1, skips=(2,), compute_dtype=jnp.float32)
+    s2, _ = apply_nerf_mlp(params, x1 * 1.01, skips=(2,), compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_mlp_matches_torch_linear_stack(rng):
+    """Golden check: our apply == torch's Linear/ReLU with the same weights."""
+    import torch
+
+    key = jax.random.PRNGKey(2)
+    depth, width, in_dim, sh_dim, skips = 3, 16, 9, 12, (1,)
+    params = init_nerf_mlp(key, in_dim, depth, width, skips, sh_dim)
+    x = rng.normal(size=(8, in_dim)).astype(np.float32)
+
+    h = torch.tensor(x)
+    x0 = torch.tensor(x)
+    for i in range(depth):
+        if i in skips:
+            h = torch.cat([x0, h], dim=-1)
+        w = torch.tensor(np.asarray(params.trunk_w[i]))
+        b = torch.tensor(np.asarray(params.trunk_b[i]))
+        h = torch.relu(h @ w + b)
+    s = torch.relu(h @ torch.tensor(np.asarray(params.sigma_w0)) + torch.tensor(np.asarray(params.sigma_b0)))
+    sigma_t = s @ torch.tensor(np.asarray(params.sigma_w1)) + torch.tensor(np.asarray(params.sigma_b1))
+    c = torch.relu(h @ torch.tensor(np.asarray(params.sh_w0)) + torch.tensor(np.asarray(params.sh_b0)))
+    sh_t = c @ torch.tensor(np.asarray(params.sh_w1)) + torch.tensor(np.asarray(params.sh_b1))
+
+    sigma_j, sh_j = apply_nerf_mlp(params, jnp.asarray(x), skips, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sigma_j), sigma_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sh_j), sh_t.numpy(), atol=1e-4)
