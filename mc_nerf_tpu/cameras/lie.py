@@ -87,27 +87,56 @@ def se3_to_SE3(wu: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
-def SO3_to_so3(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Log map: rotation matrix [..., 3, 3] -> axis-angle [..., 3]."""
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
-    theta = jnp.arccos(cos_t)
-    sin_t = jnp.sin(theta)
-    small = theta < _SMALL
-    scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,  # Taylor of theta / (2 sin theta)
-        theta / jnp.where(small, jnp.ones_like(sin_t), 2.0 * sin_t),
-    )
-    vee = jnp.stack(
+def _rotation_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> unit quaternion [..., 4] (w, x, y, z), w >= 0.
+
+    Shepperd's method, branchless: all four candidate extractions are
+    computed and the best-conditioned one (largest squared component) is
+    selected per element — uniformly stable, including theta ~ pi where the
+    naive vee-based log map degenerates.
+    """
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    t = jnp.stack(
         [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
+            1.0 + r00 + r11 + r22,  # 4 w^2
+            1.0 + r00 - r11 - r22,  # 4 x^2
+            1.0 - r00 + r11 - r22,  # 4 y^2
+            1.0 - r00 - r11 + r22,  # 4 z^2
         ],
         axis=-1,
     )
-    return scale[..., None] * vee
+    best = jnp.argmax(t, axis=-1)
+    s = jnp.sqrt(jnp.clip(jnp.take_along_axis(t, best[..., None], -1)[..., 0], 1e-12)) * 2.0
+
+    # candidates [..., 4 cases, 4 components], each scaled by 1/s of its case
+    q0 = jnp.stack([s / 4.0, (r21 - r12) / s, (r02 - r20) / s, (r10 - r01) / s], -1)
+    q1 = jnp.stack([(r21 - r12) / s, s / 4.0, (r01 + r10) / s, (r02 + r20) / s], -1)
+    q2 = jnp.stack([(r02 - r20) / s, (r01 + r10) / s, s / 4.0, (r12 + r21) / s], -1)
+    q3 = jnp.stack([(r10 - r01) / s, (r02 + r20) / s, (r12 + r21) / s, s / 4.0], -1)
+    cand = jnp.stack([q0, q1, q2, q3], axis=-2)
+    q = jnp.take_along_axis(cand, best[..., None, None], axis=-2)[..., 0, :]
+    # canonical sign: w >= 0 (shortest rotation)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+
+
+def SO3_to_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Log map: rotation matrix [..., 3, 3] -> axis-angle [..., 3].
+
+    Via quaternion: theta = 2 atan2(|q_xyz|, q_w) — stable for all angles
+    including the theta ~ pi region that breaks trace/vee formulations.
+    """
+    q = _rotation_to_quaternion(R)
+    qw, qv = q[..., 0], q[..., 1:]
+    norm_v = jnp.linalg.norm(qv, axis=-1)
+    theta = 2.0 * jnp.arctan2(norm_v, qw)
+    small = norm_v < 1e-7
+    safe = jnp.where(small, jnp.ones_like(norm_v), norm_v)
+    # theta/sin(theta/2) -> 2 as theta -> 0
+    scale = jnp.where(small, 2.0 + theta * theta / 12.0, theta / safe)
+    return qv * scale[..., None]
 
 
 def SE3_to_se3(Rt: jnp.ndarray) -> jnp.ndarray:

@@ -29,10 +29,41 @@ class CameraParams(NamedTuple):
 
 
 def init_camera_params(num_images: int, dtype=jnp.float32) -> CameraParams:
-    """All-ones init, matching ref ``register_parameters`` exactly."""
-    ones6 = jnp.ones((num_images, 6), dtype)
-    ones1 = jnp.ones((num_images,), dtype)
-    return CameraParams(ones6, ones6, ones1, ones1, ones1, ones1)
+    """All-ones init, matching ref ``register_parameters`` exactly.
+
+    Each leaf gets its own buffer — sharing one array between leaves breaks
+    jit argument donation ("donate the same buffer twice").
+    """
+    return CameraParams(
+        pose_se3=jnp.ones((num_images, 6), dtype),
+        calib_pose_se3=jnp.ones((num_images, 6), dtype),
+        fx=jnp.ones((num_images,), dtype),
+        fy=jnp.ones((num_images,), dtype),
+        ux=jnp.ones((num_images,), dtype),
+        uy=jnp.ones((num_images,), dtype),
+    )
+
+
+def init_camera_params_from_gt(
+    poses_w2c: jnp.ndarray,
+    K: jnp.ndarray,
+    img_h: int,
+    img_w: int,
+) -> CameraParams:
+    """Initialize camera parameters at ground truth (for fixed-camera runs,
+    debugging, and the BASELINE 'GT intrinsics fixed' config).
+
+    Inverts the parameterization of :func:`intrinsics` / :func:`camera_poses`.
+    """
+    from mc_nerf_tpu.cameras.lie import SE3_to_se3
+
+    pose_se3 = SE3_to_se3(poses_w2c)
+    fx = K[:, 0, 0] / img_w
+    fy = K[:, 1, 1] / img_w
+    ux = K[:, 0, 2] / (img_w / 2.0)
+    uy = K[:, 1, 2] / (img_h / 2.0)
+    n = K.shape[0]
+    return CameraParams(pose_se3, jnp.ones((n, 6), K.dtype), fx, fy, ux, uy)
 
 
 def intrinsics(cam: CameraParams, img_h: int, img_w: int) -> jnp.ndarray:

@@ -1,0 +1,8 @@
+"""Device-mesh data parallelism (replaces the reference's torch DDP/NCCL)."""
+
+from mc_nerf_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)

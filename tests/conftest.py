@@ -7,8 +7,11 @@ TPU is needed for CI.
 
 import os
 
-# must run before any `import jax` anywhere in the test session
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must run before jax's backend initializes.  NOTE: this image pre-sets the
+# tunneled-TPU platform ('axon') in a way that overrides the JAX_PLATFORMS
+# env var, so the config API is the only reliable switch — unit tests must
+# run on the simulated 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # this image's CPU backend emulates matmuls at reduced precision by default;
 # tests verify numerics, so pin full precision globally (production code picks

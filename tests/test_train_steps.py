@@ -1,0 +1,163 @@
+"""End-to-end smoke + convergence tests for the jitted stage steps."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_nerf_tpu.config import Config, NerfConfig, StageConfig, TrainConfig
+from mc_nerf_tpu.data.blender import load_scene
+from mc_nerf_tpu.data.calibration import load_calibration
+from mc_nerf_tpu.data.synthetic import make_dataset
+from mc_nerf_tpu.models.camera_params import (
+    camera_poses,
+    init_camera_params,
+    init_camera_params_from_gt,
+    intrinsics,
+)
+from mc_nerf_tpu.models.nerf import init_nerf_params
+from mc_nerf_tpu.train.optim import Params, build_optimizers
+from mc_nerf_tpu.train.steps import (
+    TrainData,
+    TrainState,
+    make_stage_epoch,
+    make_stage_step,
+)
+
+
+def tiny_config() -> Config:
+    return Config(
+        stages=StageConfig(cam_param_epochs=2, global_opt_epochs=2, fine_tune_epochs=1),
+        train=TrainConfig(rays_per_batch=256, steps_per_image_epoch=4),
+        nerf=NerfConfig(
+            samples_coarse=32,
+            sample_scale=4,
+            fine_bins_topk=8,
+            emb_freqs_xyz=6,
+            coarse_depth=2,
+            coarse_width=32,
+            coarse_skips=(1,),
+            fine_depth=2,
+            fine_width=32,
+            fine_skips=(1,),
+        ),
+        compute_dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene") / "Tiny_Spheres")
+    make_dataset(d, n_train=6, n_val=1, n_test=2, img_h=32, img_w=32, seed=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def loaded(tiny_scene):
+    scene = load_scene(tiny_scene)
+    calib = load_calibration(tiny_scene)
+    return scene, calib
+
+
+def _make_state(cfg, scene, steps_per_epoch=4):
+    key = jax.random.PRNGKey(0)
+    params = Params(
+        cam=init_camera_params(scene.train.count),
+        nerf=init_nerf_params(key, cfg.nerf),
+    )
+    txs, opt_states = build_optimizers(cfg, params, steps_per_epoch)
+    state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    return state, txs
+
+
+def test_dataset_generation(loaded):
+    scene, calib = loaded
+    assert scene.train.count == 6
+    assert scene.train.images_u8.shape == (6, 32, 32, 3)
+    assert scene.train.poses_w2c.shape == (6, 3, 4)
+    # background is white after compositing
+    assert scene.train.images_u8.max() == 255
+    assert np.asarray(calib.calib_counts).min() >= 2
+    assert np.asarray(calib.coord_counts).min() >= 1
+
+
+def test_stage0_step_reduces_reprojection_loss(loaded):
+    scene, calib = loaded
+    cfg = tiny_config()
+    state, txs = _make_state(cfg, scene)
+    data = TrainData(
+        images_u8=jnp.asarray(scene.train.images_u8.reshape(6, -1, 3)),
+        calib=calib,
+    )
+    step = make_stage_step(cfg, 0, txs[0], 32, 32, total_steps=100)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(40):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, data, k)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.9, f"stage-0 loss did not drop: {first} -> {last}"
+
+
+def test_stage1_epoch_scan_runs(loaded):
+    scene, calib = loaded
+    cfg = tiny_config()
+    state, txs = _make_state(cfg, scene)
+    data = TrainData(
+        images_u8=jnp.asarray(scene.train.images_u8.reshape(6, -1, 3)),
+        calib=calib,
+    )
+    epoch_fn = make_stage_epoch(
+        cfg, 1, txs[1], 32, 32, total_steps=100, steps_per_epoch=3
+    )
+    state, metrics = epoch_fn(state, data, jax.random.PRNGKey(2))
+    assert int(state.step) == 3
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+
+
+def test_stage2_freezes_pose(loaded):
+    scene, calib = loaded
+    cfg = tiny_config()
+    state, txs = _make_state(cfg, scene)
+    data = TrainData(
+        images_u8=jnp.asarray(scene.train.images_u8.reshape(6, -1, 3)),
+        calib=calib,
+    )
+    step = make_stage_step(cfg, 2, txs[2], 32, 32, total_steps=100)
+    pose_before = np.asarray(state.params.cam.pose_se3)
+    fx_before = np.asarray(state.params.cam.fx)
+    state, _ = step(state, data, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(state.params.cam.pose_se3), pose_before)
+    assert not np.allclose(np.asarray(state.params.cam.fx), fx_before)
+
+
+def test_stage0_nerf_frozen(loaded):
+    scene, calib = loaded
+    cfg = tiny_config()
+    state, txs = _make_state(cfg, scene)
+    data = TrainData(
+        images_u8=jnp.asarray(scene.train.images_u8.reshape(6, -1, 3)),
+        calib=calib,
+    )
+    step = make_stage_step(cfg, 0, txs[0], 32, 32, total_steps=100)
+    w_before = np.asarray(state.params.nerf.coarse.trunk_w[0])
+    state, _ = step(state, data, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(state.params.nerf.coarse.trunk_w[0]), w_before)
+    assert not np.allclose(np.asarray(state.params.cam.fx), 1.0)
+
+
+def test_gt_camera_init_round_trip(loaded):
+    scene, _ = loaded
+    cam = init_camera_params_from_gt(
+        jnp.asarray(scene.train.poses_w2c), jnp.asarray(scene.train.K), 32, 32
+    )
+    K = intrinsics(cam, 32, 32)
+    np.testing.assert_allclose(np.asarray(K), scene.train.K, rtol=1e-4)
+    poses = camera_poses(cam)
+    np.testing.assert_allclose(np.asarray(poses), scene.train.poses_w2c, atol=2e-4)
