@@ -1,0 +1,59 @@
+"""Checkpoint save/restore (orbax).
+
+Improves on the reference, which writes a ckpt per epoch but can never
+*resume* training from one (``model/mc_nerf.py:738-752``; checkpoints are
+only read back by demo mode and the validation renderer).  Here the full
+train state — parameters, all three optimizer states, and the step cursor —
+round-trips, so training is resumable by construction (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from mc_nerf_tpu.train.steps import TrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState) -> None:
+    """Write one checkpoint per epoch (rank-0 only under multi-process)."""
+    mgr = _manager(ckpt_dir)
+    mgr.save(epoch, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_epoch(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(
+    ckpt_dir: str, template: TrainState, epoch: Optional[int] = None
+) -> tuple[TrainState, int]:
+    """Restore into the shape/dtype structure of ``template``.
+
+    Returns (state, epoch_restored).
+    """
+    mgr = _manager(ckpt_dir)
+    step = epoch if epoch is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return state, step

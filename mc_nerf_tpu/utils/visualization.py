@@ -52,9 +52,9 @@ def apply_depth_colormap(depth01: np.ndarray, cmap: str = "inferno") -> np.ndarr
     """[H, W] depth in [0, 1] -> [H, W, 3] colormapped float (ref
     net_utils.py:219-231; same clipping-to-[63, 255] quirk preserved for the
     demo path's look)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
-    colormap = cm.get_cmap(cmap)
+    colormap = matplotlib.colormaps[cmap]
     v = np.clip(depth01, 0.0, 1.0)
     idx = (v * 255).astype(np.int64)
     idx = np.clip(idx, 63, 255)

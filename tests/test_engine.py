@@ -1,0 +1,88 @@
+"""End-to-end engine test: 3-stage training + checkpoint + demo on a tiny scene."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_nerf_tpu.config import (
+    Config,
+    EvalConfig,
+    NerfConfig,
+    ParallelConfig,
+    PathsConfig,
+    StageConfig,
+    TrainConfig,
+)
+from mc_nerf_tpu.data.synthetic import make_dataset
+from mc_nerf_tpu.train.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene") / "Tiny_Spheres")
+    make_dataset(d, n_train=5, n_val=2, n_test=2, img_h=24, img_w=24, seed=7)
+    return d
+
+
+def small_cfg(scene_dir, out_root) -> Config:
+    root, name = os.path.split(scene_dir)
+    return Config(
+        data_root=root,
+        data_name=name,
+        stages=StageConfig(cam_param_epochs=1, global_opt_epochs=1, fine_tune_epochs=1),
+        train=TrainConfig(rays_per_batch=128, steps_per_image_epoch=2),
+        nerf=NerfConfig(
+            samples_coarse=24, sample_scale=4, fine_bins_topk=6, emb_freqs_xyz=4,
+            coarse_depth=2, coarse_width=16, coarse_skips=(1,),
+            fine_depth=2, fine_width=16, fine_skips=(1,),
+        ),
+        eval=EvalConfig(res_h=24, res_w=24, rays_per_chunk=128),
+        paths=PathsConfig(
+            root_weights=os.path.join(out_root, "weights"),
+            root_out=os.path.join(out_root, "results"),
+            log_path=os.path.join(out_root, "log"),
+            tb_path=os.path.join(out_root, "tb"),
+        ),
+        parallel=ParallelConfig(data_parallel=1),
+        compute_dtype="float32",
+    )
+
+
+def test_engine_full_cycle(scene_dir, tmp_path):
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    engine = Engine(cfg)
+    state = engine.train()
+    assert int(state.step) == engine.steps_per_epoch * 3
+
+    # checkpoints exist for every epoch
+    from mc_nerf_tpu.train import checkpoint as ckpt_lib
+
+    assert ckpt_lib.latest_epoch(engine.ckpt_dir) == 2
+
+    # validation artifacts were written
+    out_dir = os.path.join(cfg.paths.render_dir, cfg.data_name)
+    assert os.path.exists(os.path.join(out_dir, "epoch_1.png"))
+    assert os.path.exists(os.path.join(out_dir, "cam_pose", "epoch_0.png"))
+
+    # demo mode: renders all test views with per-image scoring
+    demo_cfg = cfg.replace(mode=1)
+    engine2 = Engine(demo_cfg)
+    result = engine2.demo()
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])
+    assert len(os.listdir(os.path.join(result["out_dir"], "pred"))) == 2
+    assert len(os.listdir(os.path.join(result["out_dir"], "depth"))) == 2
+
+
+def test_engine_resume(scene_dir, tmp_path):
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    engine = Engine(cfg)
+    engine.train()
+    step_after = int(engine.state.step)
+
+    # resuming a finished run is a no-op that restores the final state
+    engine3 = Engine(cfg)
+    state = engine3.train(resume=True)
+    assert int(state.step) == step_after
