@@ -1,0 +1,108 @@
+"""Benchmark: training rays/sec/chip on the reference hot path.
+
+Measures the canonical GLOBAL_OPTIM step (SURVEY.md §3.4) at the reference's
+exact workload shape — 7000 rays/step, 128 coarse samples, <= 130 fine
+samples/ray, coarse 4x128 / fine 8x256 MLPs, 800x800 images, intrinsic
+reprojection loss — on one chip, end to end (batch sampling, ray gen,
+render, loss, backward, RAdam update).
+
+Baseline anchor: the reference publishes no numbers (BASELINE.md); the
+recommended setup is 2 GPUs x 7000 rays/step (ref README.md:55,
+config.yaml:30).  ``vs_baseline`` is measured rays/sec/chip divided by
+BASELINE_RAYS_PER_SEC_PER_CHIP, the per-chip anchor recorded in BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Anchor: PyTorch reference on one modern GPU (its recommended 2-GPU run
+# scales the epoch, not the per-step ray count). ~1.8M MLP point-evals per
+# 7000-ray step puts a 3090-class GPU at O(10) steps/s => ~7e4 rays/s/chip.
+# Recorded in BASELINE.md; the driver's north star is >10x this.
+BASELINE_RAYS_PER_SEC_PER_CHIP = 7.0e4
+
+N_WARMUP = 3
+N_STEPS = 30
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mc_nerf_tpu.config import Config
+    from mc_nerf_tpu.data.calibration import CalibrationData
+    from mc_nerf_tpu.data.cube import tag_world_points
+    from mc_nerf_tpu.models.camera_params import init_camera_params
+    from mc_nerf_tpu.models.nerf import init_nerf_params
+    from mc_nerf_tpu.train.optim import Params, build_optimizers
+    from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_step
+
+    cfg = Config()  # reference scale throughout
+    img_h = img_w = 800
+    n_images = 110  # Ball rig camera count
+    rays = cfg.train.rays_per_batch
+    assert rays == 7000
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    params = Params(
+        cam=init_camera_params(n_images),
+        nerf=init_nerf_params(key, cfg.nerf),
+    )
+    txs, opt_states = build_optimizers(cfg, params, steps_per_epoch=5500)
+    state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(n_images, img_h * img_w, 3), dtype=np.uint8)
+    )
+    pts = jnp.asarray(
+        rng.uniform(10, 790, size=(n_images, 6, 5, 2)).astype(np.float32)
+    )
+    ids = jnp.asarray(np.tile(np.arange(6, dtype=np.int32), (n_images, 1)))
+    counts = jnp.asarray(np.full((n_images,), 6, dtype=np.int32))
+    calib = CalibrationData(
+        calib_pts=pts, coord_pts=pts, calib_tag_ids=ids, coord_tag_ids=ids,
+        calib_counts=counts, coord_counts=counts,
+        cube_pts=jnp.asarray(tag_world_points(1.0)),
+    )
+    data = TrainData(images_u8=images, calib=calib)
+
+    step = make_stage_step(
+        cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
+        total_steps=286000, images_per_batch=1, mesh=None,
+    )
+
+    k = jax.random.PRNGKey(1)
+    for i in range(N_WARMUP):
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, data, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(N_STEPS):
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, data, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays * N_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
