@@ -53,7 +53,12 @@ def cam2pix(cam_pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     Perspective divide by z (ref ``model/mc_nerf.py:236-241``).
     """
     proj = heinsum("...pj,...ij->...pi", cam_pts, K)
-    return proj[..., :2] / proj[..., 2:3]
+    # guard the perspective divide: points crossing z ~ 0 (possible while
+    # camera poses are being *regressed* from scratch) must yield large-but-
+    # finite pixels, not inf/NaN gradients
+    z = proj[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    return proj[..., :2] / z_safe
 
 
 def cam2world(cam_pts: jnp.ndarray, pose_w2c: jnp.ndarray) -> jnp.ndarray:

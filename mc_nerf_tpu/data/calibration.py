@@ -72,6 +72,45 @@ def load_calibration(scene_dir: str, tag_size: float = 1.0) -> CalibrationData:
     )
 
 
+def build_calibration_cache(scene_dir: str, overwrite: bool = False) -> str:
+    """Run the C++ tag36h11 detector over the calib/coord images and write
+    the fixed-shape detection cache.
+
+    This is the real-data path (the reference runs libapriltag at startup,
+    ``data/data_read.py:171-214``); synthetic scenes may instead ship an
+    analytic cache.  Aborts if any image has zero detections, like the
+    reference (``:208-212``).
+    """
+    out_path = os.path.join(scene_dir, CACHE_NAME)
+    if os.path.exists(out_path) and not overwrite:
+        return out_path
+
+    from mc_nerf_tpu.data.blender import load_split
+    from mc_nerf_tpu.native.apriltag_binding import detect_tags, rgb_to_gray
+
+    arrays = {}
+    for split in ("calib", "coord"):
+        data = load_split(scene_dir, split, load_images=True, with_poses=False)
+        n = data.count
+        pts = np.zeros((n, 6, 5, 2), dtype=np.float32)
+        valid = np.zeros((n, 6), dtype=bool)
+        for i in range(n):
+            dets = detect_tags(rgb_to_gray(data.images_u8[i]))
+            if not dets:
+                raise ValueError(
+                    f"no tags detected in {split} image {i} — invalid "
+                    "calibration data (reference aborts here too)"
+                )
+            for d in dets:
+                if 0 <= d.tag_id < 6:
+                    pts[i, d.tag_id] = d.keypoints
+                    valid[i, d.tag_id] = True
+        arrays[f"{split}_pts"] = pts
+        arrays[f"{split}_valid"] = valid
+    np.savez(out_path, tag_size=np.float32(1.0), **arrays)
+    return out_path
+
+
 def sample_tags(
     key: jax.Array,
     pts: jnp.ndarray,

@@ -37,18 +37,24 @@ class Params(NamedTuple):
     nerf: NerfParams
 
 
-def _radam(lr, weight_decay: float) -> optax.GradientTransformation:
+def _radam(lr, weight_decay: float, clip: float = 0.0) -> optax.GradientTransformation:
     """RAdam with AdamW-style decoupled weight decay.
 
     Matches the reference RAdam's update rule (net_utils.py:10-101):
     rectification threshold 5 with SGD fallback, then
-    p <- p - lr * (update + wd * p).
+    p <- p - lr * (update + wd * p).  ``clip`` > 0 prepends global-norm
+    gradient clipping (used in the calibration stage, where the perspective
+    divide can spike gradients while poses pass near z = 0).
     """
-    return optax.chain(
+    parts = []
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    parts += [
         optax.scale_by_radam(b1=0.9, b2=0.999, eps=1e-8, threshold=5.0),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(lr),
-    )
+    ]
+    return optax.chain(*parts)
 
 
 def _stage_labels(params: Params, stage: int) -> Params:
@@ -85,7 +91,12 @@ def build_optimizers(
     states = []
     for stage in range(3):
         tx = optax.multi_transform(
-            {"train": _radam(lrs[stage], tc.weight_decay), "freeze": optax.set_to_zero()},
+            {
+                "train": _radam(
+                    lrs[stage], tc.weight_decay, clip=10.0 if stage == 0 else 0.0
+                ),
+                "freeze": optax.set_to_zero(),
+            },
             _stage_labels(params, stage),
         )
         opts.append(tx)
