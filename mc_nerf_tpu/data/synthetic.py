@@ -314,6 +314,68 @@ def _blender_to_w2c_np(c2w: np.ndarray) -> np.ndarray:
     return np.concatenate([R_w2c, (-R_w2c @ t)[:, None]], axis=-1)
 
 
+def _write_cube_split(
+    scene_dir: str,
+    split: str,
+    c2w: np.ndarray,
+    fov: np.ndarray,
+    img_h: int,
+    img_w: int,
+    tag_size: float,
+    rng: np.random.Generator,
+    randomize_cube: bool,
+) -> np.ndarray:
+    """Render real calibration-cube images for a split, with the detector in
+    the loop for calib shots (re-roll the cube orientation until >= 2 tags
+    are *detected*, mirroring ref ``Ball.py:246-313``).
+
+    Returns the cube rotations used, [N, 3, 3].
+    """
+    from mc_nerf_tpu.data.cube_render import render_cube_image
+    from mc_nerf_tpu.native.apriltag_binding import detect_tags, rgb_to_gray
+
+    os.makedirs(os.path.join(scene_dir, split), exist_ok=True)
+    n = c2w.shape[0]
+    rots = np.zeros((n, 3, 3), dtype=np.float32)
+    frames = []
+    for i in range(n):
+        rel = f"./{split}/r_{i}"
+        frames.append(
+            {
+                "file_path": rel,
+                "camera_angle_x": float(fov[i]),
+                "transform_matrix": c2w[i].tolist(),
+            }
+        )
+        tan_half = np.tan(fov[i] / 2.0)
+        K = np.array(
+            [
+                [(img_w / 2.0) / tan_half, 0, img_w / 2.0],
+                [0, (img_h / 2.0) / tan_half, img_h / 2.0],
+                [0, 0, 1.0],
+            ]
+        )
+        w2c = _blender_to_w2c_np(c2w[i])
+        for attempt in range(100):
+            R_cube = _random_rotation(rng) if randomize_cube else None
+            rgba = render_cube_image(
+                w2c, K, img_h, img_w, tag_size, cube_rot=R_cube, supersample=3
+            )
+            rgb = rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
+            n_needed = 2 if randomize_cube else 1
+            if len(detect_tags(rgb_to_gray(rgb))) >= n_needed or not randomize_cube:
+                Image.fromarray(
+                    (rgba * 255 + 0.5).astype(np.uint8), "RGBA"
+                ).save(os.path.join(scene_dir, rel + ".png"))
+                rots[i] = R_cube if R_cube is not None else np.eye(3)
+                break
+        else:
+            raise RuntimeError(f"no detectable cube orientation for camera {i}")
+    with open(os.path.join(scene_dir, f"transforms_{split}.json"), "w") as f:
+        json.dump({"frames": frames}, f)
+    return rots
+
+
 def make_dataset(
     scene_dir: str,
     n_train: int = 16,
@@ -324,11 +386,18 @@ def make_dataset(
     tag_size: float = 1.0,
     seed: int = 0,
     with_calibration: bool = True,
+    calibration_mode: str = "analytic",
 ) -> None:
-    """Generate a full blender-format scene + analytic calibration cache.
+    """Generate a full blender-format scene + calibration data.
 
     The calib/coord splits reuse the train cameras (same rig photographs the
     cube), exactly as the reference datasets do.
+
+    calibration_mode:
+      'analytic' — detections computed by projecting the cube keypoints
+        through the GT cameras (exact, fast; no images written);
+      'rendered' — real cube images rendered + the C++ tag36h11 detector
+        builds the cache (the full production path).
     """
     rng = np.random.default_rng(seed)
     scene = default_scene(seed)
@@ -342,8 +411,21 @@ def make_dataset(
     _write_split(scene_dir, "val", c2w_val, fov_val, scene, img_h, img_w)
     _write_split(scene_dir, "test", c2w_test, fov_test, scene, img_h, img_w)
 
-    if with_calibration:
-        # pose-only JSONs for calib/coord (images come from the tag renderer)
+    if with_calibration and calibration_mode == "rendered":
+        # real cube renders + C++ detector -> cache (the production path)
+        from mc_nerf_tpu.data.calibration import build_calibration_cache
+
+        _write_cube_split(
+            scene_dir, "coord", c2w_train, fov_train, img_h, img_w,
+            tag_size, rng, randomize_cube=False,
+        )
+        _write_cube_split(
+            scene_dir, "calib", c2w_train, fov_train, img_h, img_w,
+            tag_size, rng, randomize_cube=True,
+        )
+        build_calibration_cache(scene_dir, overwrite=True)
+    elif with_calibration:
+        # pose-only JSONs + analytic detections (fast test fixture path)
         _write_split(scene_dir, "coord", c2w_train, fov_train, None, img_h, img_w)
         _write_split(scene_dir, "calib", c2w_train, fov_train, None, img_h, img_w)
 

@@ -175,33 +175,25 @@ class Engine:
         return self.state
 
     def _maybe_restart_cameras(self, data: TrainData, epoch: int) -> None:
-        """Restart stuck camera twists between stage-0 epochs (cooldown: 2)."""
-        from mc_nerf_tpu.train.restarts import restart_stuck_cameras
+        """Monotone camera-pose improvement between stage-0 epochs
+        (candidate adoption: current vs analytic PnP vs structured random —
+        see train/restarts.py)."""
+        from mc_nerf_tpu.train.restarts import improve_cameras
 
-        if not hasattr(self, "_cooldown_pose"):
-            self._cooldown_pose = np.zeros(self.n_train, np.int32)
-            self._cooldown_cube = np.zeros(self.n_train, np.int32)
-        ok_pose = jnp.asarray(self._cooldown_pose <= 0)
-        ok_cube = jnp.asarray(self._cooldown_cube <= 0)
         rk = jax.random.fold_in(
             jax.random.PRNGKey(self.cfg.train.seed ^ 0x5EED), epoch
         )
-        new_params, stuck_pose, stuck_cube = restart_stuck_cameras(
-            rk, self.state.params, data.calib, self.img_h, self.img_w,
-            cooldown_ok_pose=ok_pose, cooldown_ok_cube=ok_cube,
+        new_params, adopt_pose, adopt_cube = improve_cameras(
+            rk, self.state.params, data.calib, self.img_h, self.img_w
         )
-        sp = np.asarray(stuck_pose)
-        sc = np.asarray(stuck_cube)
-        self._cooldown_pose = np.maximum(self._cooldown_pose - 1, 0)
-        self._cooldown_cube = np.maximum(self._cooldown_cube - 1, 0)
-        n_restart = int(sp.sum() + sc.sum())
-        if n_restart:
+        ap = np.asarray(adopt_pose)
+        ac = np.asarray(adopt_cube)
+        n_adopt = int(ap.sum() + ac.sum())
+        if n_adopt:
             logging.info(
-                "restarted %d stuck camera twists (pose: %s, cube: %s)",
-                n_restart, np.flatnonzero(sp).tolist(), np.flatnonzero(sc).tolist(),
+                "adopted better camera solutions for %d twists (pose: %s, cube: %s)",
+                n_adopt, np.flatnonzero(ap).tolist(), np.flatnonzero(ac).tolist(),
             )
-            self._cooldown_pose[sp] = 2
-            self._cooldown_cube[sc] = 2
             self.state = TrainState(
                 new_params, self.state.opt_states, self.state.step
             )

@@ -1,28 +1,24 @@
-"""Stuck-camera detection and restart for the calibration stage.
+"""Camera-pose recovery for the calibration stage.
 
 Reprojection-based pose regression from the all-ones init (ref
-``mc_nerf.py:347-371``) is non-convex: a small fraction of cameras lands in
-reflection local minima and SGD never escapes (observed ~1-2 of 12 on
-synthetic rigs).  Between stage-0 epochs the engine evaluates each camera's
-*full* reprojection residual (all valid tags, deterministic) and
-re-randomizes the twists of cameras whose residual is far above the cohort
-median — a fresh basin draw.
+``mc_nerf.py:347-371``) is non-convex: some cameras land in reflection /
+planar-flip local minima and SGD never escapes.  Between stage-0 epochs the
+engine runs :func:`improve_cameras` — a monotone candidate-adoption step:
 
-Details that matter (learned the hard way):
-  * the optimizer state is left untouched: re-initializing it would reset
-    the LR-decay schedule and re-shock every converged camera, while stale
-    RAdam moments on the restarted rows wash out within ~10 steps (b1=0.9);
-  * restarted cameras get a cooldown (tracked by the engine) so they are not
-    judged while still re-converging;
-  * restart values are not blind random draws: ~64 structured candidates per
-    camera (inward-looking poses on the cohort's estimated shell for
-    extrinsics; cube-in-front rotations for the calib cube pose) are ranked
-    by their actual reprojection residual and the best one wins — this
-    resolves even the planar-tag pose-flip ambiguity that defeats repeated
-    random reinits.
+  * candidates per camera = its CURRENT (pose, K) against a joint sweep of
+    focal hypotheses x the six analytic planar-PnP solutions
+    (``cameras/pnp.py``: homography decomposition per visible tag — exact
+    up to detection noise) — K must be swept jointly because a stuck
+    camera's wrong pose co-adapts with a wrong focal length;
+  * candidates are ranked by the full deterministic reprojection residual
+    over every valid tag; the argmin is adopted only if it beats the
+    current residual by a clear factor (hysteresis against churn);
+  * optimizer state is left untouched — stale RAdam moments on adopted rows
+    wash out within ~10 steps (b1=0.9), while re-initializing the optimizer
+    would reset the LR-decay schedule for the whole cohort.
 
 This is a framework addition (the reference has no recovery mechanism); it
-changes no converged result, only rescues stuck cameras.
+can only lower a camera's residual, never raise it.
 """
 
 from __future__ import annotations
@@ -72,127 +68,87 @@ def per_camera_losses(
     return intr, extr
 
 
-def _uniform_quat_rotations(key: jax.Array, shape) -> jnp.ndarray:
-    """Uniformly random rotation matrices [*shape, 3, 3] via normalized quats."""
-    q = jax.random.normal(key, (*shape, 4))
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    return jnp.stack(
-        [
-            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
-            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
-            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
-        ],
-        axis=-2,
-    )
+def _pnp_candidate_twists(
+    pts_all: jnp.ndarray,
+    K: jnp.ndarray,
+    cube_pts: jnp.ndarray,
+) -> jnp.ndarray:
+    """Analytic per-tag PnP poses as restart candidates.
 
+    For every (camera, tag) pair, decompose the tag-keypoint homography into
+    the containing frame's pose (cube frame == world frame for the coord
+    set).  Invalid tags (zeroed detections) produce garbage poses that lose
+    the residual ranking automatically.
 
-def _lookat_w2c(pos: jnp.ndarray, roll: jnp.ndarray) -> jnp.ndarray:
-    """OpenCV w2c pose looking from ``pos`` at the origin, with camera roll.
+    Args:
+      pts_all: [N, 6, 5, 2] detections.
+      K: [N, 3, 3] current intrinsics estimate.
+      cube_pts: [6, 5, 3] tag keypoints in the cube frame.
 
-    pos: [..., 3]; roll: [...] radians.  Returns [..., 3, 4].
-    """
-    f = -pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)      # forward (+z cam)
-    up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), f.shape)
-    # fall back near the poles
-    up = jnp.where(
-        jnp.abs(jnp.sum(f * up, -1, keepdims=True)) > 0.99,
-        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), f.shape),
-        up,
-    )
-    x = jnp.cross(f, up)
-    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-    y = jnp.cross(f, x)
-    # apply roll about the optical axis
-    c, s = jnp.cos(roll)[..., None], jnp.sin(roll)[..., None]
-    x_r = c * x + s * y
-    y_r = -s * x + c * y
-    R = jnp.stack([x_r, y_r, f], axis=-2)                        # rows = cam axes
-    t = -jnp.einsum("...ij,...j->...i", R, pos)
-    return jnp.concatenate([R, t[..., None]], axis=-1)
-
-
-def _candidate_restart_twists(
-    key: jax.Array,
-    n_cameras: int,
-    distance: jnp.ndarray,
-    mode: str,
-    n_cand: int = 64,
-):
-    """[n_cand, N, 6] candidate twists for restarted cameras.
-
-    mode='pose': inward-looking camera candidates — positions on a sphere of
-    the cohort's estimated radius looking at the origin (every MC-NeRF rig
-    photographs a central object), with randomized roll.
-    mode='cube': cube-in-front-of-camera candidates — uniform rotation, the
-    cube centered near the optical axis at the cohort's depth.
+    Returns:
+      [6, N, 6] candidate twists (one per tag per camera).
     """
     from mc_nerf_tpu.cameras.lie import SE3_to_se3
+    from mc_nerf_tpu.cameras.pnp import solve_planar_pnp, tag_pose_to_frame_pose
 
-    k1, k2, k3 = jax.random.split(key, 3)
-    if mode == "pose":
-        dirs = jax.random.normal(k1, (n_cand, n_cameras, 3))
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        radii = distance * jnp.exp(0.2 * jax.random.normal(k2, (n_cand, n_cameras, 1)))
-        roll = jax.random.uniform(k3, (n_cand, n_cameras), minval=-jnp.pi, maxval=jnp.pi)
-        # half the candidates keep the conventional (zero-roll) orientation
-        roll = roll * (jnp.arange(n_cand)[:, None] % 2)
-        pose = _lookat_w2c(dirs * radii, roll)
-    else:
-        R = _uniform_quat_rotations(k1, (n_cand, n_cameras))
-        xy = 0.2 * distance * jax.random.normal(k2, (n_cand, n_cameras, 2))
-        z = distance * jnp.exp(0.25 * jax.random.normal(k3, (n_cand, n_cameras, 1)))
-        t = jnp.concatenate([xy, z], axis=-1)
-        pose = jnp.concatenate([R, t[..., None]], axis=-1)
-    return SE3_to_se3(pose)
+    # recover each tag's plane frame from its keypoint table:
+    # lt -> rt spans 2h * u ; lb -> lt spans 2h * v ; origin = center
+    lt, rt, lb = cube_pts[:, 1], cube_pts[:, 2], cube_pts[:, 4]
+    two_h_u = rt - lt
+    two_h = jnp.linalg.norm(two_h_u, axis=-1, keepdims=True)      # [6, 1]
+    u = two_h_u / two_h
+    v = (lt - lb) / two_h
+    n = jnp.cross(u, v)
+    origin = cube_pts[:, 0]
+    h = two_h[:, 0] / 2.0                                          # [6]
 
+    corners = jnp.array([[0.0, 0.0], [-1.0, 1.0], [1.0, 1.0], [1.0, -1.0], [-1.0, -1.0]])
+    plane_uv = corners[None] * h[:, None, None]                    # [6, 5, 2]
 
-def find_stuck(
-    losses: jnp.ndarray,
-    cooldown_ok: jnp.ndarray,
-    rel_thresh: float = 50.0,
-    abs_thresh: float = 2e-4,
-) -> jnp.ndarray:
-    """Stuck = residual above BOTH rel_thresh x cohort median and the
-    absolute floor, and not inside a restart cooldown window."""
-    med = jnp.median(losses)
-    return (losses > rel_thresh * med) & (losses > abs_thresh) & cooldown_ok
+    pose_p2c = solve_planar_pnp(
+        plane_uv[None], pts_all, K[:, None]
+    )                                                              # [N, 6, 3, 4]
+    pose = tag_pose_to_frame_pose(pose_p2c, origin[None], u[None], v[None], n[None])
+    twists = SE3_to_se3(pose)                                      # [N, 6, 6]
+    return jnp.swapaxes(twists, 0, 1)
 
 
-def restart_stuck_cameras(
+def improve_cameras(
     key: jax.Array,
     params: Params,
     calib: CalibrationData,
     img_h: int,
     img_w: int,
-    cooldown_ok_pose: jnp.ndarray | None = None,
-    cooldown_ok_cube: jnp.ndarray | None = None,
-    rel_thresh: float = 50.0,
-    abs_thresh: float = 2e-4,
+    adopt_factor: float = 0.5,
+    n_fx_hyp: int = 10,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray]:
-    """Re-randomize the pose twists of cameras stuck in bad minima.
+    """Monotone camera improvement step (between stage-0 epochs).
 
-    Extrinsic residuals gate ``pose_se3``; intrinsic residuals gate
-    ``calib_pose_se3`` (the per-image cube pose).
+    Stuck cameras co-adapt their (wrong) intrinsics with a (wrong) pose, so
+    pose-only candidates scored under the current K can never win.  This
+    step therefore sweeps JOINT hypotheses per camera:
 
-    Returns (new params, stuck_pose mask [N], stuck_cube mask [N]).
+      focal grid x per-tag analytic PnP pose  ->  residual under that K
+
+    (focal hypotheses span the rigs' FOV range 40-80 deg, ref
+    ``Ball.py:17-24``; principal point at the image center, the datasets'
+    ground truth at init accuracy).  A candidate is adopted — pose + fx/fy
+    (+ centered principal point) together — only when its residual beats
+    ``adopt_factor`` x the camera's current residual, so converged cameras
+    (residual ~1e-8) are never churned.  The cube poses (intrinsic stage
+    auxiliary) then get the same treatment under the updated K.
+
+    Returns (new params, adopted_pose mask [N], adopted_cube mask [N]).
     """
     from mc_nerf_tpu.cameras.lie import se3_to_SE3
 
     n = params.cam.pose_se3.shape[0]
-    ones = jnp.ones((n,), bool)
-    cooldown_ok_pose = ones if cooldown_ok_pose is None else cooldown_ok_pose
-    cooldown_ok_cube = ones if cooldown_ok_cube is None else cooldown_ok_cube
-
-    intr, extr = per_camera_losses(params, calib, img_h, img_w)
-    stuck_pose = find_stuck(extr, cooldown_ok_pose, rel_thresh, abs_thresh)
-    stuck_cube = find_stuck(intr, cooldown_ok_cube, rel_thresh, abs_thresh)
-
-    K = intrinsics(params.cam, img_h, img_w)
+    intr_now, extr_now = per_camera_losses(params, calib, img_h, img_w)
     cube = calib.cube_pts
+    del key  # adoption is fully deterministic (analytic candidates only)
 
-    def residual_for_poses(pts_all, poses):
-        """poses [N, 3, 4] -> per-camera residual [N] (all valid tags)."""
+    def residual(pts_all, poses, K):
+        """[N,3,4] poses + [N,3,3] K -> per-camera residual [N]."""
         pred = reproject_points(cube[None], K[:, None], poses[:, None])
         valid = jnp.any(pts_all != 0, axis=(-1, -2))
         dx = (pred[..., 0] - pts_all[..., 0]) / img_w
@@ -201,37 +157,74 @@ def restart_stuck_cameras(
         num = jnp.sum(jnp.where(valid, per_tag, 0.0), axis=-1)
         return num / jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
-    # cohort distance estimate from the healthy cameras (median camera-center
-    # radius); every MC-NeRF rig is inward-looking, so restart candidates are
-    # "look at the origin from this shell"
-    poses_now = camera_poses(params.cam)
-    centers = -jnp.einsum("nij,ni->nj", poses_now[:, :, :3], poses_now[:, :, 3])
-    radius = jnp.linalg.norm(centers, axis=-1)
-    healthy = ~stuck_pose
-    d_est = jnp.nan_to_num(jnp.nanmedian(jnp.where(healthy, radius, jnp.nan)), nan=3.0)
-    d_est = jnp.clip(d_est, 0.5, 50.0)
+    def K_from_fx_mult(fx_mult):
+        """Hypothesized K: fx = fx_mult * W, fy with the same tangent
+        (fy/H == fx/W), principal point centered."""
+        base = jnp.array(
+            [[0.0, 0.0, img_w / 2.0], [0.0, 0.0, img_h / 2.0], [0.0, 0.0, 1.0]]
+        )
+        fx_sel = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+        fy_sel = jnp.array([[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+        return base + fx_sel * (fx_mult * img_w) + fy_sel * (fx_mult * img_h)
 
-    k_pose, k_cube = jax.random.split(key)
+    # FOV 40..80 deg -> fx/W = 1/(2 tan(fov/2)) in ~[0.59, 1.37]; pad a bit
+    fx_grid = jnp.geomspace(0.5, 1.6, n_fx_hyp)
+    K_grid = jax.vmap(K_from_fx_mult)(fx_grid)                 # [F, 3, 3]
 
-    def best_of(cand_twists, pts_all, current_twists):
-        """Pick the lowest-residual candidate per camera."""
-        def res(tw):
-            return residual_for_poses(pts_all, se3_to_SE3(tw))
+    def sweep(pts_all):
+        """Joint (fx, tag) hypothesis sweep.
 
-        losses = jax.vmap(res)(cand_twists)                     # [C, N]
-        best = jnp.argmin(losses, axis=0)                       # [N]
-        picked = jnp.take_along_axis(
-            cand_twists, best[None, :, None], axis=0
-        )[0]
-        return picked
+        Returns (best_twist [N,6], best_fx_mult [N], best_loss [N]).
+        """
+        def per_focal(K_hyp):
+            K_rep = jnp.broadcast_to(K_hyp, (n, 3, 3))
+            cands = _pnp_candidate_twists(pts_all, K_rep, cube)   # [6, N, 6]
+            losses = jax.vmap(
+                lambda tw: residual(pts_all, se3_to_SE3(tw), K_rep)
+            )(cands)                                              # [6, N]
+            losses = jnp.nan_to_num(losses, nan=1e30, posinf=1e30)
+            best_t = jnp.argmin(losses, axis=0)                   # [N]
+            tw = jnp.take_along_axis(cands, best_t[None, :, None], axis=0)[0]
+            ls = jnp.take_along_axis(losses, best_t[None, :], axis=0)[0]
+            return tw, ls
 
-    pose_cands = _candidate_restart_twists(k_pose, n, d_est, "pose")
-    cube_cands = _candidate_restart_twists(k_cube, n, d_est, "cube")
-    best_pose = best_of(pose_cands, calib.coord_pts, params.cam.pose_se3)
-    best_cube = best_of(cube_cands, calib.calib_pts, params.cam.calib_pose_se3)
+        tws, lss = jax.vmap(per_focal)(K_grid)                    # [F,N,6], [F,N]
+        best_f = jnp.argmin(lss, axis=0)                          # [N]
+        tw = jnp.take_along_axis(tws, best_f[None, :, None], axis=0)[0]
+        ls = jnp.take_along_axis(lss, best_f[None, :], axis=0)[0]
+        return tw, fx_grid[best_f], ls
 
+    best_pose, best_fx, best_pose_loss = sweep(calib.coord_pts)
+    adopt_pose = best_pose_loss < adopt_factor * extr_now
+
+    # the fy parameter stores fy / img_w (camera_params.intrinsics), and the
+    # hypothesis sets fy = fx_mult * img_h
+    fy_param = best_fx * (img_h / img_w)
     new_cam = params.cam._replace(
-        pose_se3=jnp.where(stuck_pose[:, None], best_pose, params.cam.pose_se3),
-        calib_pose_se3=jnp.where(stuck_cube[:, None], best_cube, params.cam.calib_pose_se3),
+        pose_se3=jnp.where(adopt_pose[:, None], best_pose, params.cam.pose_se3),
+        fx=jnp.where(adopt_pose, best_fx, params.cam.fx),
+        fy=jnp.where(adopt_pose, fy_param, params.cam.fy),
+        ux=jnp.where(adopt_pose, 1.0, params.cam.ux),
+        uy=jnp.where(adopt_pose, 1.0, params.cam.uy),
     )
-    return Params(cam=new_cam, nerf=params.nerf), stuck_pose, stuck_cube
+    # cube poses under the (possibly updated) intrinsics
+    K_new = intrinsics(new_cam, img_h, img_w)
+    cands = _pnp_candidate_twists(calib.calib_pts, K_new, cube)
+    losses = jax.vmap(
+        lambda tw: residual(calib.calib_pts, se3_to_SE3(tw), K_new)
+    )(cands)
+    losses = jnp.nan_to_num(losses, nan=1e30, posinf=1e30)
+    best_t = jnp.argmin(losses, axis=0)
+    best_cube = jnp.take_along_axis(cands, best_t[None, :, None], axis=0)[0]
+    best_cube_loss = jnp.take_along_axis(losses, best_t[None, :], axis=0)[0]
+    # if K changed, the old intr residual is stale — recompute under K_new
+    intr_under_new = residual(
+        calib.calib_pts, calib_cube_poses(params.cam), K_new
+    )
+    adopt_cube = best_cube_loss < adopt_factor * intr_under_new
+    new_cam = new_cam._replace(
+        calib_pose_se3=jnp.where(
+            adopt_cube[:, None], best_cube, params.cam.calib_pose_se3
+        ),
+    )
+    return Params(cam=new_cam, nerf=params.nerf), adopt_pose, adopt_cube
