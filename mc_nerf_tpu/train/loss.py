@@ -30,6 +30,15 @@ def rgb_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - gt) ** 2)
 
 
-def self_normalized(loss: jnp.ndarray) -> jnp.ndarray:
-    """L / (stop_grad(L) + 1e-8): constant magnitude, live gradient."""
-    return loss / (jax.lax.stop_gradient(loss) + 1e-8)
+def self_normalized(loss: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """L / (stop_grad(L) + eps): ~constant magnitude, live gradient.
+
+    The gradient is grad(L) / (L + eps), which *amplifies* like 1/L as the
+    reprojection residual converges — with a PnP-initialized calibration the
+    residual reaches ~1e-8 and the reference's eps=1e-8 (loss.py:23) lets a
+    single optimizer step kick the solved cameras away (observed at the
+    stage-2 -> stage-3 boundary).  eps=1e-6 (~(0.8 px / 800)^2) preserves
+    the term's scale-invariant weighting at realistic residuals and fades
+    it out once calibration is below detection noise.
+    """
+    return loss / (jax.lax.stop_gradient(loss) + eps)

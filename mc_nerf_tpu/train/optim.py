@@ -90,11 +90,12 @@ def build_optimizers(
     opts = []
     states = []
     for stage in range(3):
+        # clip in every stage: the perspective divide (stage 0) and the
+        # self-normalized intr term (stages 1-2) can both spike gradients
+        # by orders of magnitude in single steps
         tx = optax.multi_transform(
             {
-                "train": _radam(
-                    lrs[stage], tc.weight_decay, clip=10.0 if stage == 0 else 0.0
-                ),
+                "train": _radam(lrs[stage], tc.weight_decay, clip=10.0),
                 "freeze": optax.set_to_zero(),
             },
             _stage_labels(params, stage),
