@@ -82,13 +82,15 @@ def main() -> None:
     for i in range(N_WARMUP):
         k, sub = jax.random.split(k)
         state, metrics = step(state, data, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # full materialization; this platform's
+    # block_until_ready returns before execution completes (async futures)
 
     t0 = time.perf_counter()
     for i in range(N_STEPS):
         k, sub = jax.random.split(k)
         state, metrics = step(state, data, sub)
-    jax.block_until_ready(metrics["loss"])
+    loss_val = float(metrics["loss"])
+    assert np.isfinite(loss_val)
     dt = time.perf_counter() - t0
 
     rays_per_sec = rays * N_STEPS / dt
