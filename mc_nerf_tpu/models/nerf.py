@@ -20,6 +20,7 @@ from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
 from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
 from mc_nerf_tpu.models.sh import sh_basis
 from mc_nerf_tpu.ops.volume import (
+    compact_valid_samples,
     composite,
     compute_deltas,
     expand_bins_to_samples,
@@ -145,8 +146,17 @@ def render_rays_eval(
     rays_o: jnp.ndarray,
     cfg: NerfConfig,
     compute_dtype=jnp.bfloat16,
+    fine_budget_per_ray: Optional[int] = 48,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
+
+    The fine pass is *compacted*: only above-threshold samples run through
+    the fine MLP, packed batch-globally into ``R * fine_budget_per_ray``
+    dense slots.  A converged NeRF selects a handful of bins per
+    object-crossing ray and none for background rays, so the budget binds
+    only in degenerate cases (overflow falls back to background defaults).
+    This is the structural equivalent of the reference's dynamic-shape
+    selective evaluation (mc_nerf.py:689-701) under static shapes.
 
     Returns (rgb [R,3], depth [R,1], opacity [R,1]) from the fine pass.
     """
@@ -169,13 +179,44 @@ def render_rays_eval(
     sf = cfg.samples_fine_grid
     step_f = (cfg.far - cfg.near) / (sf - 1)
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f
-
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-    sigma_f, rgb_f = _shade(
-        params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
-    )
-    sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
-    rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
+
+    if fine_budget_per_ray is None:
+        # uncompacted reference path (A/B + tests): evaluate all Kf slots
+        sigma_f, rgb_f = _shade(
+            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+        )
+        sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
+        rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
+        out = composite(
+            z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
+            last_inf=False,
+        )
+        return out.rgb, out.depth, out.opacity
+
+    # ---- compact valid samples into a dense buffer for the fine MLP
+    kf = sample_idx.shape[1]
+    budget = n_rays * fine_budget_per_ray
+    dest, keep, pos = compact_valid_samples(sample_valid, budget)
+    xyz_flat = xyz_f.reshape(n_rays * kf, 3)
+    ray_ids = jnp.broadcast_to(
+        jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, kf)
+    ).reshape(-1)
+    dense_xyz = jnp.zeros((budget + 1, 3), jnp.float32).at[dest].set(xyz_flat)
+    dense_ray = jnp.zeros((budget + 1,), jnp.int32).at[dest].set(ray_ids)
+
+    x_enc = sincos_encode(dense_xyz[:budget], cfg.emb_freqs_xyz, None)
+    d_sigma, d_sh = apply_nerf_mlp(params.fine, x_enc, cfg.fine_skips, compute_dtype)
+    d_basis = jnp.take(basis, dense_ray[:budget], axis=0)
+    d_sh = d_sh.reshape(budget, 3, (cfg.sh_deg + 1) ** 2)
+    d_rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", d_sh, d_basis))
+
+    # scatter back to the [R, Kf] lattice; dropped/invalid -> defaults
+    keep2 = keep.reshape(n_rays, kf)
+    pos2 = pos.reshape(n_rays, kf)
+    sigma_f = jnp.where(keep2, jnp.take(d_sigma[:, 0], pos2), cfg.sigma_default)
+    rgb_f = jnp.where(keep2[..., None], jnp.take(d_rgb, pos2, axis=0), 1.0)
+
     out = composite(
         z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back, last_inf=False
     )

@@ -170,6 +170,35 @@ def select_fine_bins(
     return bin_idx, valid
 
 
+def compact_valid_samples(
+    sample_valid: jnp.ndarray,
+    budget: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plan a batch-global compaction of valid samples into a dense buffer.
+
+    The static per-ray budget evaluates Kf samples/ray even though a
+    converged NeRF selects only a handful of bins (and background rays
+    select none).  This computes scatter/gather indices that pack only the
+    valid samples into ``budget`` dense slots, front-to-back in ray order;
+    overflow beyond the budget falls back to defaults (callers size the
+    budget generously — see render_rays_eval).
+
+    Args:
+      sample_valid: [R, Kf] validity mask.
+      budget: static dense-buffer size.
+
+    Returns:
+      (dest [R*Kf] int32 scatter index (== budget for dropped),
+       keep [R*Kf] bool,
+       pos [R*Kf] int32 gather-back index, clipped to budget-1 for invalid).
+    """
+    flat = sample_valid.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    keep = flat & (pos < budget)
+    dest = jnp.where(keep, pos, budget)
+    return dest, keep, jnp.clip(pos, 0, budget - 1)
+
+
 def expand_bins_to_samples(
     bin_idx: jnp.ndarray,
     valid: jnp.ndarray,
