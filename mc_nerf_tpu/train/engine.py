@@ -140,13 +140,26 @@ class Engine:
                 start_epoch += 1
                 logging.info("Resumed from epoch %d", start_epoch - 1)
 
+        # profiling hook (SURVEY §5): MC_NERF_PROFILE=<dir> traces the first
+        # epoch of each stage with jax.profiler (view with tensorboard)
+        profile_dir = os.environ.get("MC_NERF_PROFILE")
+        profiled_stages = set()
+
         stage_names = ("CAM_PARAM_EPOCH", "GLOBAL_OPTIM_EPOCH", "FINE_TUNE_EPOCH")
         for epoch in range(start_epoch, cfg.stages.total_epochs):
             stage = cfg.stages.stage_of_epoch(epoch)
             t0 = time.time()
             epoch_key = jax.random.fold_in(self.train_key, epoch)
-            self.state, metrics = self._epoch_fn(stage)(self.state, data, epoch_key)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            if profile_dir and stage not in profiled_stages:
+                profiled_stages.add(stage)
+                with jax.profiler.trace(os.path.join(profile_dir, f"stage{stage}")):
+                    self.state, metrics = self._epoch_fn(stage)(
+                        self.state, data, epoch_key
+                    )
+                    metrics = {k: float(v) for k, v in metrics.items()}
+            else:
+                self.state, metrics = self._epoch_fn(stage)(self.state, data, epoch_key)
+                metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0
             rays = (
                 self.steps_per_epoch * self.images_per_batch * cfg.train.rays_per_batch
