@@ -66,6 +66,8 @@ class TrainConfig:
     images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
     steps_per_image_epoch: int = 50  # ref expands the dataset 50x (data_read.py:286-297)
     seed: int = 42
+    fine_mode: str = "grid"          # "grid" (ref-faithful) | "importance" (TPU-fast)
+    importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +151,8 @@ class EvalConfig:
     res_w: int = 800
     demo_ckpt: str = ""
     rays_per_chunk: int = 16384      # rays per jitted render chunk
+    fine_mode: str = "importance"    # "importance" (TPU-fast) | "grid" (ref-faithful)
+    importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,7 +15,7 @@ Implementation is a plain parameter pytree + pure apply function:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +84,8 @@ def apply_nerf_mlp(
     x_enc: jnp.ndarray,
     skips: Sequence[int],
     compute_dtype=jnp.bfloat16,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    sigma_only: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the trunk + heads.
 
     Args:
@@ -92,9 +93,11 @@ def apply_nerf_mlp(
       x_enc: [..., in_dim] positionally-encoded points.
       skips: static skip-layer indices.
       compute_dtype: matmul dtype (bf16 on TPU; fp32 exact mode for tests).
+      sigma_only: skip the SH head (the eval coarse pass only needs density
+        for fine-bin selection — saves ~40% of the coarse FLOPs).
 
     Returns:
-      (sigma_raw [..., 1], sh [..., sh_dim]) in fp32.
+      (sigma_raw [..., 1], sh [..., sh_dim] or None) in fp32.
     """
     x0 = x_enc.astype(compute_dtype)
     h = x0
@@ -105,6 +108,8 @@ def apply_nerf_mlp(
         h = jax.nn.relu(h)
     s = jax.nn.relu(h @ params.sigma_w0.astype(compute_dtype) + params.sigma_b0.astype(compute_dtype))
     sigma = s @ params.sigma_w1.astype(compute_dtype) + params.sigma_b1.astype(compute_dtype)
+    if sigma_only:
+        return sigma.astype(jnp.float32), None
     c = jax.nn.relu(h @ params.sh_w0.astype(compute_dtype) + params.sh_b0.astype(compute_dtype))
     sh = c @ params.sh_w1.astype(compute_dtype) + params.sh_b1.astype(compute_dtype)
     return sigma.astype(jnp.float32), sh.astype(jnp.float32)

@@ -20,10 +20,10 @@ from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
 from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
 from mc_nerf_tpu.models.sh import sh_basis
 from mc_nerf_tpu.ops.volume import (
-    compact_valid_samples,
     composite,
     compute_deltas,
     expand_bins_to_samples,
+    sample_pdf,
     select_fine_bins,
     sigma_to_weights,
 )
@@ -81,6 +81,8 @@ def render_rays_train(
     barf_window: Tuple[float, float],
     barf_on: bool,
     compute_dtype=jnp.bfloat16,
+    fine_mode: str = "grid",
+    importance_samples: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training render: coarse + hierarchical fine pass with sigma noise.
 
@@ -89,6 +91,11 @@ def render_rays_train(
       * coarse weights (fresh noise draw) drive fine-bin selection;
       * fine z grid = linspace(near, far, Sc*scale) + the same jitter;
       * unselected fine samples behave as sigma_default / white.
+
+    ``fine_mode="importance"`` swaps the threshold/top-k grid selection for
+    stratified inverse-CDF sampling of the coarse weights (fixed
+    ``importance_samples`` per ray, every fine evaluation useful) — the
+    TPU-fast formulation; quality parity is checked by scripts/dev_convergence.
 
     Returns (rgb_coarse [R,3], rgb_fine [R,3]).
     """
@@ -118,6 +125,19 @@ def render_rays_train(
     # --- fine-bin selection (no gradients, fresh noise: ref mc_nerf.py:613-621)
     deltas_c = compute_deltas(z_c, last_inf=True)
     w_sel = sigma_to_weights(deltas_c, jax.lax.stop_gradient(sigma_c), kn_sel)
+
+    if fine_mode == "importance":
+        z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_sel)
+        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+        sigma_f, rgb_f = _shade(
+            params.fine, cfg.fine_skips, xyz_f, basis, cfg, freq_w, compute_dtype
+        )
+        out_f = composite(
+            z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back,
+            last_inf=True,
+        )
+        return out_c.rgb, out_f.rgb
+
     bin_idx, valid = select_fine_bins(w_sel, cfg.fine_bins_topk, cfg.weight_thresh)
     sample_idx, sample_valid = expand_bins_to_samples(bin_idx, valid, cfg.sample_scale)
 
@@ -146,17 +166,23 @@ def render_rays_eval(
     rays_o: jnp.ndarray,
     cfg: NerfConfig,
     compute_dtype=jnp.bfloat16,
-    fine_budget_per_ray: Optional[int] = 48,
+    fine_mode: str = "importance",
+    importance_samples: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
 
-    The fine pass is *compacted*: only above-threshold samples run through
-    the fine MLP, packed batch-globally into ``R * fine_budget_per_ray``
-    dense slots.  A converged NeRF selects a handful of bins per
-    object-crossing ray and none for background rays, so the budget binds
-    only in degenerate cases (overflow falls back to background defaults).
-    This is the structural equivalent of the reference's dynamic-shape
-    selective evaluation (mc_nerf.py:689-701) under static shapes.
+    The coarse pass is density-only (its rgb is never composited at eval,
+    so the SH head is skipped — ~40% of the coarse FLOPs).  Two fine modes:
+
+    * ``"importance"`` (default, TPU-fast): a fixed ``importance_samples``
+      depths per ray drawn by deterministic inverse-CDF sampling of the
+      coarse weights (:func:`sample_pdf`).  Static shapes, no masked waste:
+      every fine-MLP evaluation contributes.  This replaces — not
+      translates — the reference's dynamic threshold selection
+      (mc_nerf.py:623-632); quality is checked against the grid mode.
+    * ``"grid"`` (reference-faithful): threshold + top-k bins on the
+      sample_scale-times-finer grid, unselected slots defaulting to
+      sigma_default/white exactly like mc_nerf.py:692-694.
 
     Returns (rgb [R,3], depth [R,1], opacity [R,1]) from the fine pass.
     """
@@ -168,11 +194,29 @@ def render_rays_eval(
     basis = sh_basis(cfg.sh_deg, rays_d)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
-    sigma_c, _rgb_c = _shade(
-        params.coarse, cfg.coarse_skips, xyz_c, basis, cfg, None, compute_dtype
+    x_enc = sincos_encode(xyz_c.reshape(n_rays * sc, 3), cfg.emb_freqs_xyz, None)
+    sigma_c, _ = apply_nerf_mlp(
+        params.coarse, x_enc, cfg.coarse_skips, compute_dtype, sigma_only=True
     )
+    sigma_c = sigma_c.reshape(n_rays, sc)
     deltas_c = compute_deltas(z_c, last_inf=True)
     w_sel = sigma_to_weights(deltas_c, sigma_c, noise_key=None)
+
+    if fine_mode == "importance":
+        z_f = sample_pdf(z_c, w_sel, importance_samples)            # [R, K]
+        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+        sigma_f, rgb_f = _shade(
+            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+        )
+        out = composite(
+            z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
+            last_inf=True,
+        )
+        return out.rgb, out.depth, out.opacity
+
+    if fine_mode != "grid":
+        raise ValueError(f"unknown eval fine_mode: {fine_mode!r}")
+
     bin_idx, valid = select_fine_bins(w_sel, cfg.fine_bins_topk, cfg.weight_thresh)
     sample_idx, sample_valid = expand_bins_to_samples(bin_idx, valid, cfg.sample_scale)
 
@@ -180,44 +224,13 @@ def render_rays_eval(
     step_f = (cfg.far - cfg.near) / (sf - 1)
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-
-    if fine_budget_per_ray is None:
-        # uncompacted reference path (A/B + tests): evaluate all Kf slots
-        sigma_f, rgb_f = _shade(
-            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
-        )
-        sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
-        rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
-        out = composite(
-            z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
-            last_inf=False,
-        )
-        return out.rgb, out.depth, out.opacity
-
-    # ---- compact valid samples into a dense buffer for the fine MLP
-    kf = sample_idx.shape[1]
-    budget = n_rays * fine_budget_per_ray
-    dest, keep, pos = compact_valid_samples(sample_valid, budget)
-    xyz_flat = xyz_f.reshape(n_rays * kf, 3)
-    ray_ids = jnp.broadcast_to(
-        jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, kf)
-    ).reshape(-1)
-    dense_xyz = jnp.zeros((budget + 1, 3), jnp.float32).at[dest].set(xyz_flat)
-    dense_ray = jnp.zeros((budget + 1,), jnp.int32).at[dest].set(ray_ids)
-
-    x_enc = sincos_encode(dense_xyz[:budget], cfg.emb_freqs_xyz, None)
-    d_sigma, d_sh = apply_nerf_mlp(params.fine, x_enc, cfg.fine_skips, compute_dtype)
-    d_basis = jnp.take(basis, dense_ray[:budget], axis=0)
-    d_sh = d_sh.reshape(budget, 3, (cfg.sh_deg + 1) ** 2)
-    d_rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", d_sh, d_basis))
-
-    # scatter back to the [R, Kf] lattice; dropped/invalid -> defaults
-    keep2 = keep.reshape(n_rays, kf)
-    pos2 = pos.reshape(n_rays, kf)
-    sigma_f = jnp.where(keep2, jnp.take(d_sigma[:, 0], pos2), cfg.sigma_default)
-    rgb_f = jnp.where(keep2[..., None], jnp.take(d_rgb, pos2, axis=0), 1.0)
-
+    sigma_f, rgb_f = _shade(
+        params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+    )
+    sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
+    rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     out = composite(
-        z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back, last_inf=False
+        z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
+        last_inf=False,
     )
     return out.rgb, out.depth, out.opacity

@@ -197,7 +197,7 @@ def _kernel(n_freqs: int, depth: int, skips: Tuple[int, ...]):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_freqs", "depth", "skips", "block")
+    jax.jit, static_argnames=("n_freqs", "depth", "skips", "block", "interpret")
 )
 def fused_mlp_forward(
     packed: PackedMLP,
@@ -207,6 +207,7 @@ def fused_mlp_forward(
     depth: int,
     skips: Tuple[int, ...],
     block: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused kernel over points.
 
@@ -253,5 +254,6 @@ def fused_mlp_forward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(xyz4, lane_w, spread, sin_m, cos_m, *weights_flat)
     return out[:p]

@@ -153,6 +153,8 @@ def make_loss_fn(
         rgb_c, rgb_f = render_rays_train(
             params.nerf, rays_d, rays_o, k_render, step_r, cfg.nerf,
             barf_window, barf_on=(stage == 1), compute_dtype=compute_dtype,
+            fine_mode=cfg.train.fine_mode,
+            importance_samples=cfg.train.importance_samples,
         )
         loss_c = rgb_loss(rgb_c, gt)
         loss_f = rgb_loss(rgb_f, gt)
@@ -262,7 +264,11 @@ def make_render_fn(
 
         def render_chunk(args):
             rd, ro = args
-            return render_rays_eval(nerf_params, rd, ro, cfg.nerf, compute_dtype)
+            return render_rays_eval(
+                nerf_params, rd, ro, cfg.nerf, compute_dtype,
+                fine_mode=cfg.eval.fine_mode,
+                importance_samples=cfg.eval.importance_samples,
+            )
 
         rgb, depth, opacity = jax.lax.map(render_chunk, (rays_d, rays_o))
         rgb = rgb.reshape(-1, 3)[:hw].reshape(img_h, img_w, 3)
