@@ -153,6 +153,7 @@ class EvalConfig:
     rays_per_chunk: int = 16384      # rays per jitted render chunk
     fine_mode: str = "importance"    # "importance" (TPU-fast) | "grid" (ref-faithful)
     importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
+    use_pallas: Optional[bool] = None  # fused MLP kernel; None = auto (TPU only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,6 +246,10 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         warmup_epoch=get(sys_info, "train_params", "warmup_epoch", default=cfg.train.warmup_epoch),
         rays_per_batch=get(sys_info, "train_params", "batch", default=cfg.train.rays_per_batch),
         seed=get(sys_info, "data", "seed", default=cfg.train.seed),
+        # extension keys (not in the reference schema)
+        fine_mode=get(sys_info, "train_params", "fine_mode", default=cfg.train.fine_mode),
+        importance_samples=get(sys_info, "train_params", "importance_samples",
+                               default=cfg.train.importance_samples),
     )
     barf = BarfConfig(
         mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),
@@ -278,6 +283,12 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         res_h=get(sys_info, "test_params", "resolution_h", default=cfg.eval.res_h),
         res_w=get(sys_info, "test_params", "resolution_w", default=cfg.eval.res_w),
         demo_ckpt=get(sys_info, "test_params", "nerf_model_name", default=cfg.eval.demo_ckpt),
+        # extension keys (not in the reference schema)
+        fine_mode=get(sys_info, "test_params", "fine_mode", default=cfg.eval.fine_mode),
+        importance_samples=get(sys_info, "test_params", "importance_samples",
+                               default=cfg.eval.importance_samples),
+        rays_per_chunk=get(sys_info, "test_params", "rays_per_chunk",
+                           default=cfg.eval.rays_per_chunk),
     )
     paths = dataclasses.replace(
         cfg.paths,

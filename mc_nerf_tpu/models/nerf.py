@@ -19,6 +19,12 @@ from mc_nerf_tpu.config import NerfConfig
 from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
 from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
 from mc_nerf_tpu.models.sh import sh_basis
+from mc_nerf_tpu.ops.pallas.fused_mlp import (
+    PackedMLP,
+    encode_kernel_order,
+    fused_mlp_apply,
+    pack_mlp_params,
+)
 from mc_nerf_tpu.ops.volume import (
     composite,
     compute_deltas,
@@ -160,6 +166,42 @@ def render_rays_train(
     return out_c.rgb, out_f.rgb
 
 
+def pack_eval_params(params: NerfParams, cfg: NerfConfig):
+    """Kernel-layout weights for :func:`render_rays_eval`'s Pallas path:
+    (coarse sigma-only, fine full).  Pack once per render program — outside
+    the per-chunk loop — so the pads/permutes don't re-run per chunk."""
+    return (
+        pack_mlp_params(params.coarse, cfg.emb_freqs_xyz, cfg.coarse_skips,
+                        sigma_only=True),
+        pack_mlp_params(params.fine, cfg.emb_freqs_xyz, cfg.fine_skips),
+    )
+
+
+def _shade_pallas(
+    packed: PackedMLP,
+    depth: int,
+    skips,
+    xyz: jnp.ndarray,
+    basis: Optional[jnp.ndarray],
+    cfg: NerfConfig,
+    interpret: bool = False,
+):
+    """Fused-kernel shading: encode (XLA) -> Pallas MLP -> SH shade.
+
+    ``basis=None`` is the density-only coarse path (returns (sigma, None)).
+    """
+    r, s = xyz.shape[0], xyz.shape[1]
+    feat = encode_kernel_order(xyz.reshape(r * s, 3), cfg.emb_freqs_xyz, None)
+    out = fused_mlp_apply(packed, feat, depth, tuple(skips), interpret=interpret)
+    sigma = out[:, 0].reshape(r, s)
+    if basis is None:
+        return sigma, None
+    nb = (cfg.sh_deg + 1) ** 2
+    sh = out[:, 1 : 1 + 3 * nb].reshape(r, s, 3, nb)
+    rgb = jax.nn.sigmoid(jnp.einsum("rscb,rb->rsc", sh, basis))
+    return sigma, rgb
+
+
 def render_rays_eval(
     params: NerfParams,
     rays_d: jnp.ndarray,
@@ -168,6 +210,8 @@ def render_rays_eval(
     compute_dtype=jnp.bfloat16,
     fine_mode: str = "importance",
     importance_samples: int = 64,
+    packed: Optional[Tuple[PackedMLP, PackedMLP]] = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
 
@@ -194,20 +238,34 @@ def render_rays_eval(
     basis = sh_basis(cfg.sh_deg, rays_d)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
-    x_enc = sincos_encode(xyz_c.reshape(n_rays * sc, 3), cfg.emb_freqs_xyz, None)
-    sigma_c, _ = apply_nerf_mlp(
-        params.coarse, x_enc, cfg.coarse_skips, compute_dtype, sigma_only=True
-    )
-    sigma_c = sigma_c.reshape(n_rays, sc)
+    if packed is not None:
+        sigma_c, _ = _shade_pallas(
+            packed[0], cfg.coarse_depth, cfg.coarse_skips, xyz_c, None, cfg,
+            interpret,
+        )
+    else:
+        x_enc = sincos_encode(xyz_c.reshape(n_rays * sc, 3), cfg.emb_freqs_xyz, None)
+        sigma_c, _ = apply_nerf_mlp(
+            params.coarse, x_enc, cfg.coarse_skips, compute_dtype, sigma_only=True
+        )
+        sigma_c = sigma_c.reshape(n_rays, sc)
     deltas_c = compute_deltas(z_c, last_inf=True)
     w_sel = sigma_to_weights(deltas_c, sigma_c, noise_key=None)
+
+    def shade_fine(xyz_f):
+        if packed is not None:
+            return _shade_pallas(
+                packed[1], cfg.fine_depth, cfg.fine_skips, xyz_f, basis, cfg,
+                interpret,
+            )
+        return _shade(
+            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+        )
 
     if fine_mode == "importance":
         z_f = sample_pdf(z_c, w_sel, importance_samples)            # [R, K]
         xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-        sigma_f, rgb_f = _shade(
-            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
-        )
+        sigma_f, rgb_f = shade_fine(xyz_f)
         out = composite(
             z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
             last_inf=True,
@@ -224,9 +282,7 @@ def render_rays_eval(
     step_f = (cfg.far - cfg.near) / (sf - 1)
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-    sigma_f, rgb_f = _shade(
-        params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
-    )
+    sigma_f, rgb_f = shade_fine(xyz_f)
     sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     out = composite(

@@ -1,22 +1,30 @@
-"""Fused positional-encode -> NeRF MLP -> heads Pallas kernel.
+"""Fused NeRF-MLP Pallas kernel (trunk + heads in VMEM) + kernel-order encode.
 
 Why: the XLA path materializes every trunk activation in HBM
 ([points, width] bf16 per layer, ~0.5 GB per layer at eval scale), making
-the forward pass bandwidth-bound (~10-40 TFLOP/s observed of ~197 peak).
-This kernel keeps the whole per-point pipeline in VMEM: a block of points is
-encoded, pushed through all trunk layers + both heads, and only the packed
-(sigma | SH) output [points, 32] ever returns to HBM.  Weights (~1.3 MB
-bf16 for the fine MLP) stay resident across grid steps.
+the forward pass bandwidth-bound.  This kernel keeps the whole per-point
+MLP in VMEM: a block of pre-encoded points runs through all trunk layers +
+both heads, and only the packed (sigma | SH) output [points, 32] returns to
+HBM.  Weights (~1.3 MB bf16 for the fine MLP) stay VMEM-resident.
+
+The positional encode runs OUTSIDE the kernel in XLA: measured on a v5e,
+in-kernel sin/cos cost 3.2 ms per 897k points (VPU transcendentals at
+~36 G/s) while the double-angle recurrence (``models/encoding.py``)
+computes the same spectrum with 6 transcendentals per point and fuses into
+the surrounding XLA graph.  A pure-MLP kernel runs at ~247 Mpts/s (coarse
+4x128 sigma-only) / ~94 Mpts/s (fine 8x256), vs ~92/62 with in-kernel
+encode.
 
 Layout notes:
-  * encode features live in a kernel-friendly order
-    ``[x, y, z, pad, sin(f0)*3, cos(f0)*3, sin(f1)*3, ...]`` — 64 lanes for
-    the reference's 10 octaves; ``pack_mlp_params`` permutes the first
-    weight matrix's rows (and each skip layer's input block) to match, so
-    results are bit-identical in layout to the XLA path's semantics;
-  * both heads are packed into two GEMMs: their first layers concatenate to
-    [width, 2*width]; their second layers form a block-diagonal
-    [2*width, 32] with column 0 = sigma and columns 1..27 = SH coefficients;
+  * encode features are ``[x, y, z, pad, sin(f0)*3, cos(f0)*3, sin(f1)*3,
+    ...]`` — 64 lanes for the reference's 10 octaves; ``pack_mlp_params``
+    permutes the first weight matrix's rows (and each skip layer's input
+    block) to match;
+  * both heads pack into two GEMMs: first layers concatenate to
+    [width, 2*width]; second layers form a block-diagonal [2*width, 32]
+    with column 0 = sigma and columns 1..27 = SH coefficients.  With
+    ``sigma_only=True`` (the eval coarse pass: its rgb is never used) the
+    heads are just the sigma pair — ~40% of the coarse FLOPs saved;
   * weights are stored bf16, matmuls accumulate in fp32 (MXU native).
 """
 
@@ -31,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mc_nerf_tpu.models.encoding import sincos_spectrum
 from mc_nerf_tpu.models.mlp import NerfMLPParams
 
 ENC_PAD = 4  # [x, y, z, pad] header lanes in the encode layout
@@ -42,10 +51,48 @@ class PackedMLP(NamedTuple):
 
     trunk_w: Tuple[jnp.ndarray, ...]   # first/skip layers row-permuted
     trunk_b: Tuple[jnp.ndarray, ...]
-    head_w0: jnp.ndarray               # [width, 2*width]
+    head_w0: jnp.ndarray               # [width, 2*width] (or [w, w] sigma-only)
     head_b0: jnp.ndarray               # [1, 2*width]
     head_w1: jnp.ndarray               # [2*width, 32] block diagonal
     head_b1: jnp.ndarray               # [1, 32]
+
+
+def encode_width(n_freqs: int) -> int:
+    return ENC_PAD + 6 * n_freqs
+
+
+def encode_kernel_order(
+    xyz: jnp.ndarray,
+    n_freqs: int,
+    freq_weights: Optional[jnp.ndarray] = None,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Positional-encode points into the kernel's lane order.
+
+    [x, y, z, 0, sin(f0) x3, cos(f0) x3, sin(f1) x3, ...] — per-frequency
+    blocks so the BARF gate multiplies contiguous lanes.  Runs in XLA
+    (double-angle spectrum, no per-octave transcendentals) and feeds
+    :func:`fused_mlp_apply`.
+
+    Args:
+      xyz: [P, 3] positions.
+      n_freqs: octave count L.
+      freq_weights: optional [L] BARF gate.
+
+    Returns:
+      [P, 4 + 6L] features in ``dtype``.
+    """
+    sin, cos = sincos_spectrum(xyz, n_freqs)        # [P, 3, L]
+    if freq_weights is not None:
+        w = freq_weights.astype(sin.dtype)
+        sin = sin * w
+        cos = cos * w
+    # [P, L, 2, 3] -> [P, 6L] gives per-freq [sin x3, cos x3] blocks
+    spec = jnp.stack([sin, cos], axis=-2)           # [P, 3, 2, L]
+    spec = jnp.transpose(spec, (0, 3, 2, 1))        # [P, L, 2, 3]
+    spec = spec.reshape(xyz.shape[0], 6 * n_freqs)
+    pad = jnp.zeros((xyz.shape[0], 1), xyz.dtype)
+    return jnp.concatenate([xyz, pad, spec], axis=-1).astype(dtype)
 
 
 def _enc_permutation(n_freqs: int) -> np.ndarray:
@@ -56,7 +103,7 @@ def _enc_permutation(n_freqs: int) -> np.ndarray:
     cos over dims].  Returns ``perm`` with perm[new_row] = old_row (or -1
     for the pad lane).
     """
-    width = ENC_PAD + 6 * n_freqs
+    width = encode_width(n_freqs)
     perm = np.full(width, -1, dtype=np.int64)
     perm[0:3] = [0, 1, 2]
     for f in range(n_freqs):
@@ -79,12 +126,12 @@ def pack_mlp_params(
     params: NerfMLPParams,
     n_freqs: int,
     skips: Sequence[int],
+    sigma_only: bool = False,
     dtype=jnp.bfloat16,
 ) -> PackedMLP:
-    """Convert fp32 training params into the kernel layout (call per step —
-    it is a handful of pads/permutes, fused into the surrounding jit)."""
+    """Convert fp32 training params into the kernel layout (a handful of
+    pads/permutes — call once per render/step, fused into the outer jit)."""
     perm = _enc_permutation(n_freqs)
-    enc_w = ENC_PAD + 6 * n_freqs
     trunk_w, trunk_b = [], []
     for i, (w, b) in enumerate(zip(params.trunk_w, params.trunk_b)):
         if i == 0:
@@ -104,74 +151,42 @@ def pack_mlp_params(
         trunk_b.append(b.reshape(1, -1).astype(dtype))
 
     width = params.sigma_w0.shape[0]
-    head_w0 = jnp.concatenate([params.sigma_w0, params.sh_w0], axis=1)
-    head_b0 = jnp.concatenate([params.sigma_b0, params.sh_b0])[None]
-    sh_dim = params.sh_w1.shape[1]
-    head_w1 = jnp.zeros((2 * width, 32), jnp.float32)
-    head_w1 = head_w1.at[:width, 0:1].set(params.sigma_w1)
-    head_w1 = head_w1.at[width:, 1 : 1 + sh_dim].set(params.sh_w1)
-    head_b1 = jnp.zeros((32,), jnp.float32)
-    head_b1 = head_b1.at[0:1].set(params.sigma_b1)
-    head_b1 = head_b1.at[1 : 1 + sh_dim].set(params.sh_b1)
+    if sigma_only:
+        head_w0 = params.sigma_w0
+        head_b0 = params.sigma_b0[None]
+        head_w1 = jnp.zeros((width, 32), jnp.float32).at[:, 0:1].set(params.sigma_w1)
+        head_b1 = jnp.zeros((32,), jnp.float32).at[0:1].set(params.sigma_b1)[None]
+    else:
+        head_w0 = jnp.concatenate([params.sigma_w0, params.sh_w0], axis=1)
+        head_b0 = jnp.concatenate([params.sigma_b0, params.sh_b0])[None]
+        sh_dim = params.sh_w1.shape[1]
+        assert sh_dim <= 31, (
+            f"packed head holds sigma + <=31 SH cols; got sh_dim={sh_dim} "
+            "(SH degree > 2) — use the XLA path"
+        )
+        head_w1 = jnp.zeros((2 * width, 32), jnp.float32)
+        head_w1 = head_w1.at[:width, 0:1].set(params.sigma_w1)
+        head_w1 = head_w1.at[width:, 1 : 1 + sh_dim].set(params.sh_w1)
+        head_b1 = jnp.zeros((32,), jnp.float32)
+        head_b1 = head_b1.at[0:1].set(params.sigma_b1)
+        head_b1 = head_b1.at[1 : 1 + sh_dim].set(params.sh_b1)[None]
     return PackedMLP(
         tuple(trunk_w),
         tuple(trunk_b),
         head_w0.astype(dtype),
         head_b0.astype(dtype),
         head_w1.astype(dtype),
-        head_b1[None].astype(dtype),
+        head_b1.astype(dtype),
     )
 
 
-def _encode_tables(n_freqs: int):
-    """Constant tables for the in-kernel encode.
+def _kernel(depth: int, skips: Tuple[int, ...]):
+    """Kernel body for a static MLP config: trunk + packed heads."""
 
-    spread: [4, 4+6L] selection/scale matrix so that ``xyz4 @ spread`` puts
-    ``x_d * 2^f`` in every sin/cos lane (and x, y, z, 0 in the header) —
-    one tiny MXU op instead of 2L+1 narrow lane-concats (which force a
-    128-lane relayout per piece and are catastrophically slow).
-    sin_mask / cos_mask: [1, 4+6L] lane selectors.
-    freq_lane: [L -> lane weight broadcast map] handled via a [1, 4+6L]
-    per-lane BARF weight vector built by the caller.
-    """
-    width = ENC_PAD + 6 * n_freqs
-    spread = np.zeros((4, width), np.float32)
-    spread[0, 0] = spread[1, 1] = spread[2, 2] = 1.0
-    sin_mask = np.zeros((1, width), np.float32)
-    cos_mask = np.zeros((1, width), np.float32)
-    for f in range(n_freqs):
-        for d in range(3):
-            j_sin = ENC_PAD + 6 * f + d
-            j_cos = ENC_PAD + 6 * f + 3 + d
-            spread[d, j_sin] = 2.0 ** f
-            spread[d, j_cos] = 2.0 ** f
-            sin_mask[0, j_sin] = 1.0
-            cos_mask[0, j_cos] = 1.0
-    return spread, sin_mask, cos_mask
-
-
-def lane_freq_weights(freq_weights: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
-    """[L] BARF gate -> [1, 4+6L] per-lane multiplier (header lanes = 1)."""
-    width = ENC_PAD + 6 * n_freqs
-    lanes = jnp.ones((width,), jnp.float32)
-    for f in range(n_freqs):
-        lanes = lanes.at[ENC_PAD + 6 * f : ENC_PAD + 6 * f + 6].set(freq_weights[f])
-    return lanes[None]
-
-
-def _kernel(n_freqs: int, depth: int, skips: Tuple[int, ...]):
-    """Build the kernel body for a static MLP config."""
-
-    def body(xyz_ref, lane_w_ref, spread_ref, sin_ref, cos_ref, *refs):
+    def body(feat_ref, *refs):
         out_ref = refs[-1]
         wrefs = refs[:-1]
-        xyz = xyz_ref[...].astype(jnp.float32)          # [B, 4]
-        spread = spread_ref[...]
-        sin_m = sin_ref[...]
-        cos_m = cos_ref[...]
-        raw = jnp.dot(xyz, spread, preferred_element_type=jnp.float32)
-        enc = raw + sin_m * (jnp.sin(raw) - raw) + cos_m * (jnp.cos(raw) - raw)
-        feat = (enc * lane_w_ref[...]).astype(jnp.bfloat16)   # [B, 4+6L]
+        feat = feat_ref[...]                                  # [B, 4+6L] bf16
 
         idx = 0
         h = feat
@@ -197,37 +212,34 @@ def _kernel(n_freqs: int, depth: int, skips: Tuple[int, ...]):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_freqs", "depth", "skips", "block", "interpret")
+    jax.jit,
+    static_argnames=("depth", "skips", "block", "interpret", "vmem_limit"),
 )
-def fused_mlp_forward(
+def fused_mlp_apply(
     packed: PackedMLP,
-    xyz: jnp.ndarray,
-    freq_weights: jnp.ndarray,
-    n_freqs: int,
+    feat: jnp.ndarray,
     depth: int,
     skips: Tuple[int, ...],
-    block: int = 1024,
+    block: int = 2048,
     interpret: bool = False,
+    vmem_limit: Optional[int] = 100 * 1024 * 1024,
 ) -> jnp.ndarray:
-    """Run the fused kernel over points.
+    """Run the fused MLP kernel over pre-encoded points.
 
     Args:
       packed: kernel-layout weights (see :func:`pack_mlp_params`).
-      xyz: [P, 3] sample positions (any float dtype).
-      freq_weights: [n_freqs] BARF gate (ones when off).
+      feat: [P, 4+6L] encoded features (:func:`encode_kernel_order`).
+      depth/skips: static trunk config.
       block: points per grid step.
 
     Returns:
-      [P, 32] fp32 packed outputs: col 0 = raw sigma, cols 1..27 = SH.
+      [P, 32] fp32 packed outputs: col 0 = raw sigma, cols 1..27 = SH
+      (zeros beyond col 0 for sigma-only packs).
     """
-    p = xyz.shape[0]
+    p, enc_w = feat.shape
     padded = -(-p // block) * block
-    xyz4 = jnp.zeros((padded, 4), jnp.float32).at[:p, :3].set(xyz.astype(jnp.float32))
-    lane_w = lane_freq_weights(freq_weights, n_freqs)
-    spread_np, sin_np, cos_np = _encode_tables(n_freqs)
-    spread = jnp.asarray(spread_np)
-    sin_m = jnp.asarray(sin_np)
-    cos_m = jnp.asarray(cos_np)
+    if padded != p:
+        feat = jnp.pad(feat, ((0, padded - p), (0, 0)))
 
     weights_flat = []
     for w, b in zip(packed.trunk_w, packed.trunk_b):
@@ -237,23 +249,34 @@ def fused_mlp_forward(
     const_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
-    grid = (padded // block,)
     out = pl.pallas_call(
-        _kernel(n_freqs, depth, skips),
+        _kernel(depth, skips),
         out_shape=jax.ShapeDtypeStruct((padded, 32), jnp.float32),
-        grid=grid,
+        grid=(padded // block,),
         in_specs=[
-            pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const_spec(lane_w),
-            const_spec(spread),
-            const_spec(sin_m),
-            const_spec(cos_m),
+            pl.BlockSpec((block, enc_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *[const_spec(w) for w in weights_flat],
         ],
         out_specs=pl.BlockSpec((block, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(xyz4, lane_w, spread, sin_m, cos_m, *weights_flat)
+    )(feat, *weights_flat)
     return out[:p]
+
+
+def fused_mlp_forward(
+    packed: PackedMLP,
+    xyz: jnp.ndarray,
+    freq_weights: Optional[jnp.ndarray],
+    n_freqs: int,
+    depth: int,
+    skips: Tuple[int, ...],
+    block: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """encode (XLA) -> fused MLP kernel.  Convenience wrapper."""
+    feat = encode_kernel_order(xyz, n_freqs, freq_weights)
+    return fused_mlp_apply(packed, feat, depth, tuple(skips), block, interpret)

@@ -31,7 +31,11 @@ from mc_nerf_tpu.models.camera_params import (
     camera_poses,
     intrinsics,
 )
-from mc_nerf_tpu.models.nerf import render_rays_eval, render_rays_train
+from mc_nerf_tpu.models.nerf import (
+    pack_eval_params,
+    render_rays_eval,
+    render_rays_train,
+)
 from mc_nerf_tpu.parallel.mesh import shard_batch
 from mc_nerf_tpu.train.loss import reprojection_loss, rgb_loss, self_normalized
 from mc_nerf_tpu.train.optim import Params
@@ -254,6 +258,9 @@ def make_render_fn(
     n_chunks = -(-hw // chunk)
     padded = n_chunks * chunk
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    use_pallas = cfg.eval.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and cfg.nerf.sh_deg <= 2
 
     def render(nerf_params, pose_w2c, K):
         pix = pixel_grid(img_h, img_w)
@@ -261,6 +268,7 @@ def make_render_fn(
         rays_d, rays_o = rays_for_pixels(pix, pose_w2c, K)
         rays_d = rays_d.reshape(n_chunks, chunk, 3)
         rays_o = rays_o.reshape(n_chunks, chunk, 3)
+        packed = pack_eval_params(nerf_params, cfg.nerf) if use_pallas else None
 
         def render_chunk(args):
             rd, ro = args
@@ -268,6 +276,7 @@ def make_render_fn(
                 nerf_params, rd, ro, cfg.nerf, compute_dtype,
                 fine_mode=cfg.eval.fine_mode,
                 importance_samples=cfg.eval.importance_samples,
+                packed=packed,
             )
 
         rgb, depth, opacity = jax.lax.map(render_chunk, (rays_d, rays_o))

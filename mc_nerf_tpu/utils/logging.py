@@ -37,6 +37,10 @@ def setup_logging(log_dir: str | None = None, to_file: bool = False) -> None:
     )
     if not is_main_process():
         logging.getLogger().setLevel(logging.WARNING)
+    # orbax emits dozens of INFO lines per checkpoint save, drowning the
+    # training log; keep its warnings only
+    for noisy in ("orbax", "orbax.checkpoint", "absl"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
 
 
 def format_table(headers, rows) -> str:

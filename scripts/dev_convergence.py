@@ -49,9 +49,12 @@ def main(scene_dir="/tmp/dev_scene", n_train=12, hw=64, stage0_steps=4000,
     scene = load_scene(scene_dir)
     calib = load_calibration(scene_dir)
     n = scene.train.count
+    fine_mode = os.environ.get("MC_NERF_TRAIN_FINE_MODE", "grid")
+    imp_samples = int(os.environ.get("MC_NERF_IMP_SAMPLES", "64"))
     cfg = Config(
         stages=StageConfig(4, 4, 2),
-        train=TrainConfig(rays_per_batch=2048, steps_per_image_epoch=50),
+        train=TrainConfig(rays_per_batch=2048, steps_per_image_epoch=50,
+                          fine_mode=fine_mode, importance_samples=imp_samples),
         nerf=NerfConfig(
             samples_coarse=64, sample_scale=5, fine_bins_topk=13,
             emb_freqs_xyz=10,

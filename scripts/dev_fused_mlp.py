@@ -55,10 +55,11 @@ def main():
         n_pts = 7000 * 128
         xyz = jnp.asarray(rng.uniform(-4, 4, size=(n_pts, 3)).astype(np.float32))
 
-        for block in (512, 1024, 2048, 4096):
+        for block in (1024, 2048, 4096, 8192, 16384):
             dt, _ = bench(
                 lambda x: fused_mlp_forward(
-                    packed, x, ones, n_freqs, depth, skips, block=block
+                    packed, x, ones, n_freqs, depth, skips, block=block,
+                    vmem_limit=100 * 1024 * 1024,
                 ),
                 xyz,
             )

@@ -76,6 +76,25 @@ def test_fused_barf_gating(rng):
     np.testing.assert_allclose(np.asarray(out[:, 1:28]), sh_ref, atol=5e-2)
 
 
+def test_fused_sigma_only_pack(rng):
+    """sigma_only pack: col 0 matches the full pack, SH cols are zero."""
+    n_freqs, depth, width, skips = 4, 2, 16, (1,)
+    key = jax.random.PRNGKey(9)
+    params = init_nerf_mlp(key, 3 * (2 * n_freqs + 1), depth, width, skips, 27)
+    xyz = jnp.asarray(rng.uniform(-2, 2, size=(64, 3)).astype(np.float32))
+    ones = jnp.ones((n_freqs,), jnp.float32)
+    full = fused_mlp_forward(
+        pack_mlp_params(params, n_freqs, skips),
+        xyz, ones, n_freqs, depth, skips, block=64, interpret=True,
+    )
+    sig = fused_mlp_forward(
+        pack_mlp_params(params, n_freqs, skips, sigma_only=True),
+        xyz, ones, n_freqs, depth, skips, block=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(sig[:, 0]), np.asarray(full[:, 0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sig[:, 1:]), 0.0, atol=1e-6)
+
+
 def test_fused_ragged_tail(rng):
     """Point counts that don't divide the block are zero-padded then sliced."""
     n_freqs, depth, width, skips = 4, 2, 16, (1,)

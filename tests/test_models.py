@@ -82,7 +82,9 @@ def test_encode_matches_reference_layout(rng):
     ours = np.asarray(sincos_encode(jnp.asarray(x), 10))
     ref = _ref_encode(x, 10)
     assert ours.shape == (20, 63)
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # the double-angle recurrence accumulates ~2x fp32 error per octave:
+    # ~5e-5 absolute at octave 10, far below the bf16 the MLP consumes
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
 
 
 def test_encode_with_barf_matches_reference(rng):
@@ -97,7 +99,7 @@ def test_encode_with_barf_matches_reference(rng):
 
     ours = np.asarray(sincos_encode(jnp.asarray(x), 10, jnp.asarray(w)))
     ref = _ref_encode(x, 10, barf=w_ref)
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
 
 
 def test_barf_weights_endpoints():

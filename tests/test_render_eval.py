@@ -109,3 +109,23 @@ def test_train_importance_mode_grads_flow():
     gf = float(sum(jnp.abs(x).sum() for x in jax.tree.leaves(g.fine)))
     assert np.isfinite(gc) and gc > 0
     assert np.isfinite(gf) and gf > 0
+
+
+def test_pallas_eval_matches_xla_path():
+    """The fused-kernel eval path must match the XLA path (both modes)."""
+    from mc_nerf_tpu.models.nerf import pack_eval_params
+
+    cfg, params, rd, ro = _setup(n_rays=64)
+    packed = pack_eval_params(params, cfg)
+    for mode in ("importance", "grid"):
+        ref = render_rays_eval(
+            params, rd, ro, cfg, jnp.bfloat16, fine_mode=mode,
+            importance_samples=16,
+        )
+        ker = render_rays_eval(
+            params, rd, ro, cfg, jnp.bfloat16, fine_mode=mode,
+            importance_samples=16, packed=packed, interpret=True,
+        )
+        for a, b, name in zip(ref, ker, ("rgb", "depth", "opacity")):
+            err = float(jnp.abs(a - b).max())
+            assert err < 0.05, f"{mode}/{name}: {err}"
