@@ -197,9 +197,12 @@ def _shade_pallas(
     if basis is None:
         return sigma, None
     nb = (cfg.sh_deg + 1) ** 2
-    sh = out[:, 1 : 1 + 3 * nb].reshape(r, s, 3, nb)
-    rgb = jax.nn.sigmoid(jnp.einsum("rscb,rb->rsc", sh, basis))
-    return sigma, rgb
+    # contract SH on the flat point axis ([B,3,nb] x [B,nb]) — un-flattening
+    # to [R,S,3,nb] first costs a ~180 ms/frame relayout at eval scale
+    sh = out[:, 1 : 1 + 3 * nb].reshape(r * s, 3, nb)
+    basis_flat = jnp.broadcast_to(basis[:, None, :], (r, s, nb)).reshape(r * s, nb)
+    rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", sh, basis_flat))
+    return sigma, rgb.reshape(r, s, 3)
 
 
 def render_rays_eval(
