@@ -68,6 +68,7 @@ class TrainConfig:
     seed: int = 42
     fine_mode: str = "grid"          # "grid" (ref-faithful) | "importance" (TPU-fast)
     importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
+    use_pallas: Optional[bool] = None  # fused fwd+bwd MLP kernel; None = auto (TPU)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,6 +22,7 @@ from mc_nerf_tpu.models.sh import sh_basis
 from mc_nerf_tpu.ops.pallas.fused_mlp import (
     PackedMLP,
     encode_kernel_order,
+    fused_mlp,
     fused_mlp_apply,
     pack_mlp_params,
 )
@@ -77,6 +78,34 @@ def _shade(
     return sigma, jax.nn.sigmoid(rgb_raw)
 
 
+def _shade_train_kernel(
+    mlp: NerfMLPParams,
+    depth: int,
+    skips,
+    xyz: jnp.ndarray,
+    basis: jnp.ndarray,
+    cfg: NerfConfig,
+    freq_w: Optional[jnp.ndarray],
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training shade through the differentiable fused kernel.
+
+    Params are packed fp32 (cotangents keep full precision; the kernel
+    casts to bf16 at the MXU).  Gradients flow to the weights through the
+    pack's VJP and to camera parameters through dfeat -> encode -> xyz.
+    """
+    r, s = xyz.shape[0], xyz.shape[1]
+    packed = pack_mlp_params(mlp, cfg.emb_freqs_xyz, skips, dtype=jnp.float32)
+    feat = encode_kernel_order(xyz.reshape(r * s, 3), cfg.emb_freqs_xyz, freq_w)
+    out = fused_mlp(packed, feat, depth, tuple(skips), 1024, interpret)
+    sigma = out[:, 0].reshape(r, s)
+    nb = (cfg.sh_deg + 1) ** 2
+    sh = out[:, 1 : 1 + 3 * nb].reshape(r * s, 3, nb)
+    basis_flat = jnp.broadcast_to(basis[:, None, :], (r, s, nb)).reshape(r * s, nb)
+    rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", sh, basis_flat))
+    return sigma, rgb.reshape(r, s, 3)
+
+
 def render_rays_train(
     params: NerfParams,
     rays_d: jnp.ndarray,
@@ -89,6 +118,8 @@ def render_rays_train(
     compute_dtype=jnp.bfloat16,
     fine_mode: str = "grid",
     importance_samples: int = 64,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training render: coarse + hierarchical fine pass with sigma noise.
 
@@ -122,10 +153,28 @@ def render_rays_train(
     )
     basis = sh_basis(cfg.sh_deg, rays_d)                            # [R, B]
 
+    def shade_c(xyz):
+        if use_pallas:
+            return _shade_train_kernel(
+                params.coarse, cfg.coarse_depth, cfg.coarse_skips, xyz, basis,
+                cfg, freq_w, interpret,
+            )
+        return _shade(
+            params.coarse, cfg.coarse_skips, xyz, basis, cfg, freq_w, compute_dtype
+        )
+
+    def shade_f(xyz):
+        if use_pallas:
+            return _shade_train_kernel(
+                params.fine, cfg.fine_depth, cfg.fine_skips, xyz, basis,
+                cfg, freq_w, interpret,
+            )
+        return _shade(
+            params.fine, cfg.fine_skips, xyz, basis, cfg, freq_w, compute_dtype
+        )
+
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
-    sigma_c, rgb_c = _shade(
-        params.coarse, cfg.coarse_skips, xyz_c, basis, cfg, freq_w, compute_dtype
-    )
+    sigma_c, rgb_c = shade_c(xyz_c)
     out_c = composite(z_c, sigma_c, rgb_c, noise_key=kn_c, white_back=cfg.white_back)
 
     # --- fine-bin selection (no gradients, fresh noise: ref mc_nerf.py:613-621)
@@ -135,9 +184,7 @@ def render_rays_train(
     if fine_mode == "importance":
         z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_sel)
         xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-        sigma_f, rgb_f = _shade(
-            params.fine, cfg.fine_skips, xyz_f, basis, cfg, freq_w, compute_dtype
-        )
+        sigma_f, rgb_f = shade_f(xyz_f)
         out_f = composite(
             z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back,
             last_inf=True,
@@ -155,9 +202,7 @@ def render_rays_train(
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f + jitter  # [R, Kf]
 
     xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-    sigma_f, rgb_f = _shade(
-        params.fine, cfg.fine_skips, xyz_f, basis, cfg, freq_w, compute_dtype
-    )
+    sigma_f, rgb_f = shade_f(xyz_f)
     sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     out_f = composite(

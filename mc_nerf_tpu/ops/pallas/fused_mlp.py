@@ -197,15 +197,15 @@ def _kernel(depth: int, skips: Tuple[int, ...]):
         for i in range(depth):
             if i in skips:
                 h = jnp.concatenate([feat, h], axis=1)
-            w = wrefs[idx][...]
+            w = wrefs[idx][...].astype(jnp.bfloat16)
             b = wrefs[idx + 1][...]
             idx += 2
             acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
             h = jnp.maximum(acc + b.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
 
-        hw0 = wrefs[idx][...]
+        hw0 = wrefs[idx][...].astype(jnp.bfloat16)
         hb0 = wrefs[idx + 1][...]
-        hw1 = wrefs[idx + 2][...]
+        hw1 = wrefs[idx + 2][...].astype(jnp.bfloat16)
         hb1 = wrefs[idx + 3][...]
         h1 = jnp.dot(h, hw0, preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + hb0.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
@@ -284,3 +284,209 @@ def fused_mlp_forward(
     """encode (XLA) -> fused MLP kernel.  Convenience wrapper."""
     feat = encode_kernel_order(xyz, n_freqs, freq_weights)
     return fused_mlp_apply(packed, feat, depth, tuple(skips), block, interpret)
+
+
+# ---------------------------------------------------------------------------
+# differentiable kernel (training path): fwd reuses fused_mlp_apply; bwd is a
+# second kernel that rematerializes activations block-wise in VMEM and
+# accumulates weight grads across grid steps (sequential 'arbitrary' grid).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(depth: int, skips: Tuple[int, ...], n_w: int):
+    """Backward body.  refs layout:
+    [feat, dout, *weights(w,b pairs + 4 head tensors), dfeat_out,
+     *dweight_outs (same order as weights)].
+    Weight-grad outputs use a constant index map; they are zero-initialized
+    at grid step 0 and accumulated (+=) on every step.
+    """
+
+    def body(*refs):
+        feat_ref, dout_ref = refs[0], refs[1]
+        wrefs = refs[2 : 2 + n_w]
+        dfeat_ref = refs[2 + n_w]
+        dwrefs = refs[3 + n_w :]
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for r in dwrefs:
+                r[...] = jnp.zeros_like(r)
+
+        feat = feat_ref[...]                                   # [B, E] bf16
+        dout = dout_ref[...].astype(jnp.bfloat16)              # [B, 32]
+
+        # ---- recompute forward, keeping each GEMM's input + relu mask
+        xins = []
+        h = feat
+        idx = 0
+        for i in range(depth):
+            if i in skips:
+                h = jnp.concatenate([feat, h], axis=1)
+            xins.append(h)
+            w = wrefs[idx][...].astype(jnp.bfloat16)
+            b = wrefs[idx + 1][...]
+            idx += 2
+            acc = jnp.dot(h, w, preferred_element_type=jnp.float32)
+            h = jnp.maximum(acc + b.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+        h_last = h
+        hw0 = wrefs[idx][...].astype(jnp.bfloat16)
+        hb0 = wrefs[idx + 1][...]
+        hw1 = wrefs[idx + 2][...].astype(jnp.bfloat16)
+        h1 = jnp.dot(h_last, hw0, preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + hb0.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+
+        # ---- heads backward
+        t_dims = (((1,), (1,)), ((), ()))   # x @ w^T
+        g_dims = (((0,), (0,)), ((), ()))   # x^T @ g
+        d_hw1 = jax.lax.dot_general(h1, dout, g_dims,
+                                    preferred_element_type=jnp.float32)
+        d_hb1 = jnp.sum(dout.astype(jnp.float32), axis=0, keepdims=True)
+        d_h1 = jax.lax.dot_general(dout, hw1, t_dims,
+                                   preferred_element_type=jnp.float32)
+        d_h1 = jnp.where(h1 > 0, d_h1, 0.0).astype(jnp.bfloat16)
+        d_hw0 = jax.lax.dot_general(h_last, d_h1, g_dims,
+                                    preferred_element_type=jnp.float32)
+        d_hb0 = jnp.sum(d_h1.astype(jnp.float32), axis=0, keepdims=True)
+        d_h = jax.lax.dot_general(d_h1, hw0, t_dims,
+                                  preferred_element_type=jnp.float32)
+
+        head_grads = [d_hw0, d_hb0, d_hw1, d_hb1]
+
+        # ---- trunk backward
+        d_feat = jnp.zeros_like(feat, dtype=jnp.float32)
+        trunk_grads = [None] * (2 * depth)
+        for i in reversed(range(depth)):
+            w = wrefs[2 * i][...].astype(jnp.bfloat16)
+            # h after layer i is xins[i+1] (or h_last), minus any skip concat
+            h_out = xins[i + 1][:, -w.shape[1]:] if i + 1 < depth else h_last
+            d_a = jnp.where(h_out > 0, d_h, 0.0).astype(jnp.bfloat16)
+            trunk_grads[2 * i] = jax.lax.dot_general(
+                xins[i], d_a, g_dims, preferred_element_type=jnp.float32
+            )
+            trunk_grads[2 * i + 1] = jnp.sum(
+                d_a.astype(jnp.float32), axis=0, keepdims=True
+            )
+            d_xin = jax.lax.dot_general(d_a, w, t_dims,
+                                        preferred_element_type=jnp.float32)
+            if i in skips:
+                e = feat.shape[1]
+                d_feat = d_feat + d_xin[:, :e]
+                d_h = d_xin[:, e:]
+            else:
+                d_h = d_xin
+        d_feat = d_feat + d_h
+        dfeat_ref[...] = d_feat.astype(jnp.float32)
+
+        for r, g in zip(dwrefs, trunk_grads + head_grads):
+            r[...] += g
+
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "skips", "block", "interpret", "vmem_limit"),
+)
+def _fused_mlp_bwd_call(
+    packed: PackedMLP,
+    feat: jnp.ndarray,
+    dout: jnp.ndarray,
+    depth: int,
+    skips: Tuple[int, ...],
+    block: int,
+    interpret: bool,
+    vmem_limit: Optional[int],
+):
+    p, enc_w = feat.shape
+    padded = -(-p // block) * block
+    if padded != p:
+        feat = jnp.pad(feat, ((0, padded - p), (0, 0)))
+        dout = jnp.pad(dout, ((0, padded - p), (0, 0)))
+
+    weights_flat = []
+    for w, b in zip(packed.trunk_w, packed.trunk_b):
+        weights_flat += [w, b]
+    weights_flat += [packed.head_w0, packed.head_b0, packed.head_w1, packed.head_b1]
+    n_w = len(weights_flat)
+
+    const_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((padded, enc_w), jnp.float32)] + [
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_flat
+    ]
+    out_specs = [
+        pl.BlockSpec((block, enc_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] + [const_spec(w) for w in weights_flat]
+
+    outs = pl.pallas_call(
+        _bwd_kernel(depth, skips, n_w),
+        out_shape=out_shapes,
+        grid=(padded // block,),
+        in_specs=[
+            pl.BlockSpec((block, enc_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[const_spec(w) for w in weights_flat],
+        ],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(feat, dout, *weights_flat)
+
+    dfeat = outs[0][:p]
+    dws = outs[1:]
+    n_trunk = len(packed.trunk_w)
+    dpacked = PackedMLP(
+        trunk_w=tuple(dws[2 * i] for i in range(n_trunk)),
+        trunk_b=tuple(dws[2 * i + 1] for i in range(n_trunk)),
+        head_w0=dws[2 * n_trunk],
+        head_b0=dws[2 * n_trunk + 1],
+        head_w1=dws[2 * n_trunk + 2],
+        head_b1=dws[2 * n_trunk + 3],
+    )
+    return dpacked, dfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_mlp(
+    packed: PackedMLP,
+    feat: jnp.ndarray,
+    depth: int,
+    skips: Tuple[int, ...],
+    block: int = 1024,
+    interpret: bool = False,
+    vmem_limit: Optional[int] = 100 * 1024 * 1024,
+) -> jnp.ndarray:
+    """Differentiable fused MLP (training path).
+
+    Forward is :func:`fused_mlp_apply`; backward is a second kernel that
+    rematerializes the block's activations in VMEM (no HBM activation
+    traffic at all — the XLA backward streams every [points, width] layer
+    twice) and accumulates fp32 weight grads across the sequential grid.
+    """
+    return fused_mlp_apply(packed, feat, depth, skips, block, interpret, vmem_limit)
+
+
+def _fused_mlp_fwd(packed, feat, depth, skips, block, interpret, vmem_limit):
+    out = fused_mlp_apply(packed, feat, depth, skips, block, interpret, vmem_limit)
+    return out, (packed, feat)
+
+
+def _fused_mlp_bwd(depth, skips, block, interpret, vmem_limit, res, dout):
+    packed, feat = res
+    dpacked, dfeat = _fused_mlp_bwd_call(
+        packed, feat, dout, depth, skips, block, interpret, vmem_limit
+    )
+    # cast weight grads back to the packed dtypes (bf16 storage)
+    dpacked = jax.tree.map(
+        lambda g, w: g.astype(w.dtype), dpacked, packed
+    )
+    return dpacked, dfeat.astype(feat.dtype)
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

@@ -140,6 +140,9 @@ def make_loss_fn(
     barf_window = cfg.barf.global_window(cfg.stages)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     zero = jnp.zeros(())
+    use_pallas = cfg.train.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and cfg.nerf.sh_deg <= 2
 
     def loss_fn(params: Params, data: TrainData, key: jax.Array, step):
         k_calib, k_rays, k_render = jax.random.split(key, 3)
@@ -159,6 +162,7 @@ def make_loss_fn(
             barf_window, barf_on=(stage == 1), compute_dtype=compute_dtype,
             fine_mode=cfg.train.fine_mode,
             importance_samples=cfg.train.importance_samples,
+            use_pallas=use_pallas,
         )
         loss_c = rgb_loss(rgb_c, gt)
         loss_f = rgb_loss(rgb_f, gt)

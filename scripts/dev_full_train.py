@@ -28,7 +28,11 @@ def main():
         data_root=os.path.join(out, "data"),
         data_name="Dev_Spheres",
         stages=StageConfig(cam_param_epochs=8, global_opt_epochs=8, fine_tune_epochs=4),
-        train=TrainConfig(rays_per_batch=2048, steps_per_image_epoch=50),
+        train=TrainConfig(
+            rays_per_batch=2048, steps_per_image_epoch=50,
+            fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "grid"),
+            importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "64")),
+        ),
         nerf=NerfConfig(samples_coarse=64, sample_scale=5, fine_bins_topk=13),
         eval=EvalConfig(res_h=hw, res_w=hw, rays_per_chunk=4096),
         paths=PathsConfig(

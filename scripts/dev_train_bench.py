@@ -1,0 +1,77 @@
+"""Dev: stage-1 train step throughput at reference scale — mode/kernel matrix."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_nerf_tpu.config import Config
+from mc_nerf_tpu.data.calibration import CalibrationData
+from mc_nerf_tpu.data.cube import tag_world_points
+from mc_nerf_tpu.models.camera_params import init_camera_params
+from mc_nerf_tpu.models.nerf import init_nerf_params
+from mc_nerf_tpu.train.optim import Params, build_optimizers
+from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_step
+
+
+def setup(cfg):
+    img_h = img_w = 800
+    n_images = 110
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    params = Params(cam=init_camera_params(n_images), nerf=init_nerf_params(key, cfg.nerf))
+    txs, opt_states = build_optimizers(cfg, params, steps_per_epoch=5500)
+    state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    images = jnp.asarray(rng.integers(0, 256, size=(n_images, img_h * img_w, 3), dtype=np.uint8))
+    pts = jnp.asarray(rng.uniform(10, 790, size=(n_images, 6, 5, 2)).astype(np.float32))
+    ids = jnp.asarray(np.tile(np.arange(6, dtype=np.int32), (n_images, 1)))
+    counts = jnp.asarray(np.full((n_images,), 6, dtype=np.int32))
+    calib = CalibrationData(
+        calib_pts=pts, coord_pts=pts, calib_tag_ids=ids, coord_tag_ids=ids,
+        calib_counts=counts, coord_counts=counts,
+        cube_pts=jnp.asarray(tag_world_points(1.0)),
+    )
+    data = TrainData(images_u8=images, calib=calib)
+    step = make_stage_step(cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
+                           total_steps=286000, images_per_batch=1, mesh=None)
+    return state, data, step
+
+
+def bench(name, cfg, n_steps=30):
+    state, data, step = setup(cfg)
+    key = jax.random.PRNGKey(7)
+    state, m = step(state, data, jax.random.fold_in(key, 0))
+    _ = float(m["loss"])  # force
+    t0 = time.time()
+    for i in range(1, n_steps + 1):
+        state, m = step(state, data, jax.random.fold_in(key, i))
+        loss = float(m["loss"])
+    dt = (time.time() - t0) / n_steps
+    rays = cfg.train.rays_per_batch
+    print(f"{name:24s}: {dt*1e3:7.2f} ms/step  {rays/dt/1e3:8.1f}k rays/s  loss={loss:.4f}")
+
+
+def main():
+    base = Config()
+    variants = {
+        "grid+xla":      dict(fine_mode="grid", use_pallas=False),
+        "grid+pallas":   dict(fine_mode="grid", use_pallas=True),
+        "imp64+xla":     dict(fine_mode="importance", importance_samples=64, use_pallas=False),
+        "imp64+pallas":  dict(fine_mode="importance", importance_samples=64, use_pallas=True),
+        "imp128+pallas": dict(fine_mode="importance", importance_samples=128, use_pallas=True),
+    }
+    which = sys.argv[1:] or list(variants)
+    for name in which:
+        cfg = base.replace(train=dataclasses.replace(base.train, **variants[name]))
+        bench(name, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,40 @@ def test_fused_ragged_tail(rng):
         packed, xyz[:64], ones, n_freqs, depth, skips, block=128, interpret=True
     )
     np.testing.assert_allclose(np.asarray(part), np.asarray(full[:64]), atol=2e-2)
+
+
+def test_fused_mlp_custom_vjp_matches_xla_grads(rng):
+    """Gradients through the bwd kernel match jax.grad of the XLA path."""
+    import jax.numpy as jnp2
+    from mc_nerf_tpu.ops.pallas.fused_mlp import encode_kernel_order, fused_mlp
+
+    n_freqs, depth, width, skips = 4, 3, 16, (1,)
+    key = jax.random.PRNGKey(21)
+    params = init_nerf_mlp(key, 3 * (2 * n_freqs + 1), depth, width, skips, 27)
+    xyz = jnp.asarray(rng.uniform(-2, 2, size=(96, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, size=(96, 28)).astype(np.float32))
+
+    def loss_xla(p, x):
+        enc = sincos_encode(x, n_freqs, None)
+        sig, sh = apply_nerf_mlp(p, enc, skips, jnp.float32)
+        out = jnp.concatenate([sig, sh], axis=-1)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_ker(p, x):
+        packed = pack_mlp_params(p, n_freqs, skips, dtype=jnp2.float32)
+        feat = encode_kernel_order(x, n_freqs, None, dtype=jnp2.float32)
+        out = fused_mlp(packed, feat, depth, skips, 32, True)
+        return jnp.mean((out[:, :28] - tgt) ** 2)
+
+    gx_p, gx_x = jax.grad(loss_xla, argnums=(0, 1))(params, xyz)
+    gk_p, gk_x = jax.grad(loss_ker, argnums=(0, 1))(params, xyz)
+
+    for a, b in zip(jax.tree.leaves(gx_p), jax.tree.leaves(gk_p)):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=0.05 * scale + 1e-7
+        )
+    scale = max(float(jnp.abs(gx_x).max()), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gk_x), np.asarray(gx_x), atol=0.05 * scale + 1e-7
+    )
