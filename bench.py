@@ -41,7 +41,7 @@ def main() -> None:
     from mc_nerf_tpu.models.camera_params import init_camera_params
     from mc_nerf_tpu.models.nerf import init_nerf_params
     from mc_nerf_tpu.train.optim import Params, build_optimizers
-    from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_step
+    from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_epoch
 
     cfg = Config()  # reference scale throughout
     img_h = img_w = 800
@@ -73,27 +73,31 @@ def main() -> None:
     )
     data = TrainData(images_u8=images, calib=calib)
 
-    step = make_stage_step(
+    # epoch-granular like the real engine: one lax.scan per epoch, one host
+    # sync per epoch.  Per-step host syncs pay ~40 ms of tunnel round-trip
+    # latency each on this platform, which the real training loop never pays.
+    epoch = make_stage_epoch(
         cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
-        total_steps=286000, images_per_batch=1, mesh=None,
+        total_steps=286000, steps_per_epoch=N_STEPS, images_per_batch=1,
+        mesh=None,
     )
 
     k = jax.random.PRNGKey(1)
-    for i in range(N_WARMUP):
-        k, sub = jax.random.split(k)
-        state, metrics = step(state, data, sub)
+    k, sub = jax.random.split(k)
+    state, metrics = epoch(state, data, sub)  # compile + warm
     float(metrics["loss"])  # full materialization; this platform's
     # block_until_ready returns before execution completes (async futures)
 
+    n_epochs = 3
     t0 = time.perf_counter()
-    for i in range(N_STEPS):
+    for i in range(n_epochs):
         k, sub = jax.random.split(k)
-        state, metrics = step(state, data, sub)
+        state, metrics = epoch(state, data, sub)
     loss_val = float(metrics["loss"])
     assert np.isfinite(loss_val)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = rays * N_STEPS / dt
+    rays_per_sec = rays * N_STEPS * n_epochs / dt
     print(
         json.dumps(
             {

@@ -66,7 +66,12 @@ class TrainConfig:
     images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
     steps_per_image_epoch: int = 50  # ref expands the dataset 50x (data_read.py:286-297)
     seed: int = 42
-    fine_mode: str = "grid"          # "grid" (ref-faithful) | "importance" (TPU-fast)
+    # "importance" (default): stratified inverse-CDF fine sampling — measured
+    # +3.6 dB demo PSNR over the reference's threshold/top-k "grid" scheme at
+    # equal-or-lower cost (A/B: 24.60/0.957 vs 21.00/0.849 PSNR/SSIM on the
+    # 64x64 12-cam synthetic scene, full 3-stage runs).  "grid" remains the
+    # reference-faithful path.
+    fine_mode: str = "importance"
     importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
     use_pallas: Optional[bool] = None  # fused fwd+bwd MLP kernel; None = auto (TPU)
 

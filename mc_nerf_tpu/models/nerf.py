@@ -20,10 +20,11 @@ from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
 from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
 from mc_nerf_tpu.models.sh import sh_basis
 from mc_nerf_tpu.ops.pallas.fused_mlp import (
+    BASIS_LANES,
     PackedMLP,
     encode_kernel_order,
-    fused_mlp,
     fused_mlp_apply,
+    fused_shaded_mlp,
     pack_mlp_params,
 )
 from mc_nerf_tpu.ops.volume import (
@@ -88,22 +89,26 @@ def _shade_train_kernel(
     freq_w: Optional[jnp.ndarray],
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Training shade through the differentiable fused kernel.
+    """Training shade through the differentiable fused kernel (SH shading
+    included — the [points, 27] SH tensor never exists in HBM; its XLA-side
+    slicing/einsum cost ~17 ms/step of padded-layout glue).
 
     Params are packed fp32 (cotangents keep full precision; the kernel
     casts to bf16 at the MXU).  Gradients flow to the weights through the
-    pack's VJP and to camera parameters through dfeat -> encode -> xyz.
+    pack's VJP, to camera parameters through dfeat -> encode -> xyz, and
+    through dbasis -> sh_basis -> ray directions.
     """
     r, s = xyz.shape[0], xyz.shape[1]
     packed = pack_mlp_params(mlp, cfg.emb_freqs_xyz, skips, dtype=jnp.float32)
     feat = encode_kernel_order(xyz.reshape(r * s, 3), cfg.emb_freqs_xyz, freq_w)
-    out = fused_mlp(packed, feat, depth, tuple(skips), 1024, interpret)
-    sigma = out[:, 0].reshape(r, s)
     nb = (cfg.sh_deg + 1) ** 2
-    sh = out[:, 1 : 1 + 3 * nb].reshape(r * s, 3, nb)
-    basis_flat = jnp.broadcast_to(basis[:, None, :], (r, s, nb)).reshape(r * s, nb)
-    rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", sh, basis_flat))
-    return sigma, rgb.reshape(r, s, 3)
+    basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+    out = fused_shaded_mlp(
+        packed, feat, basis16, depth, tuple(skips), s, nb, interpret
+    )
+    sigma = out[:, 0].reshape(r, s)
+    rgb = out[:, 1:4].reshape(r, s, 3)
+    return sigma, rgb
 
 
 def render_rays_train(
@@ -231,23 +236,24 @@ def _shade_pallas(
     cfg: NerfConfig,
     interpret: bool = False,
 ):
-    """Fused-kernel shading: encode (XLA) -> Pallas MLP -> SH shade.
+    """Fused-kernel shading: encode (XLA) -> Pallas MLP (+ in-kernel SH
+    shading when a basis is given).
 
     ``basis=None`` is the density-only coarse path (returns (sigma, None)).
     """
     r, s = xyz.shape[0], xyz.shape[1]
     feat = encode_kernel_order(xyz.reshape(r * s, 3), cfg.emb_freqs_xyz, None)
-    out = fused_mlp_apply(packed, feat, depth, tuple(skips), interpret=interpret)
-    sigma = out[:, 0].reshape(r, s)
     if basis is None:
-        return sigma, None
+        out = fused_mlp_apply(packed, feat, depth, tuple(skips), interpret=interpret)
+        return out[:, 0].reshape(r, s), None
     nb = (cfg.sh_deg + 1) ** 2
-    # contract SH on the flat point axis ([B,3,nb] x [B,nb]) — un-flattening
-    # to [R,S,3,nb] first costs a ~180 ms/frame relayout at eval scale
-    sh = out[:, 1 : 1 + 3 * nb].reshape(r * s, 3, nb)
-    basis_flat = jnp.broadcast_to(basis[:, None, :], (r, s, nb)).reshape(r * s, nb)
-    rgb = jax.nn.sigmoid(jnp.einsum("pcb,pb->pc", sh, basis_flat))
-    return sigma, rgb.reshape(r, s, 3)
+    basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+    out = fused_shaded_mlp(
+        packed, feat, basis16, depth, tuple(skips), s, nb, interpret
+    )
+    sigma = out[:, 0].reshape(r, s)
+    rgb = out[:, 1:4].reshape(r, s, 3)
+    return sigma, rgb
 
 
 def render_rays_eval(

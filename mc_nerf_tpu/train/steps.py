@@ -140,9 +140,13 @@ def make_loss_fn(
     barf_window = cfg.barf.global_window(cfg.stages)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     zero = jnp.zeros(())
+    # default OFF for training: at the reference's 7000-ray step the fused
+    # fwd+bwd kernels run ~2.2x faster than XLA's MLP (20 vs 45 ms/step) but
+    # the custom-call boundary glue gives XLA the overall win (96k vs 87k
+    # rays/s measured, v5e).  Eval keeps the kernels (clear win there).
     use_pallas = cfg.train.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and cfg.nerf.sh_deg <= 2
+        use_pallas = False
 
     def loss_fn(params: Params, data: TrainData, key: jax.Array, step):
         k_calib, k_rays, k_render = jax.random.split(key, 3)

