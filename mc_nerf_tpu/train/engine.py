@@ -124,7 +124,9 @@ class Engine:
     def _render_fn(self, img_h: int, img_w: int):
         key = (img_h, img_w)
         if key not in self._render_fns:
-            self._render_fns[key] = make_render_fn(self.cfg, img_h, img_w)
+            self._render_fns[key] = make_render_fn(
+                self.cfg, img_h, img_w, mesh=self.mesh
+            )
         return self._render_fns[key]
 
     def train(self, resume: bool = False) -> TrainState:

@@ -21,6 +21,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 from mc_nerf_tpu.config import Config
 from mc_nerf_tpu.cameras.projection import reproject_points
@@ -252,16 +253,23 @@ def make_render_fn(
     img_h: int,
     img_w: int,
     rays_per_chunk: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Full-image renderer: fixed-size chunked ``lax.map`` over the ray axis.
 
     Replaces the reference's Python chunk loop (``mc_nerf.py:112-118``,
-    ``:775-780``) with one compiled program per image size.
+    ``:775-780``) with one compiled program per image size.  With a mesh,
+    each chunk's ray axis is split over the devices via ``shard_map`` —
+    rays are embarrassingly parallel, so the frame latency divides by the
+    device count with zero collectives (this is how the <1 s/frame v4-8
+    target follows from the measured 1.77 s single-chip v5e figure).
 
     ``(nerf_params, pose_w2c [3,4], K [3,3]) ->
       (rgb [H,W,3], depth [H,W], opacity [H,W])``
     """
     chunk = rays_per_chunk or cfg.eval.rays_per_chunk
+    if mesh is not None and chunk % mesh.size != 0:
+        chunk = -(-chunk // mesh.size) * mesh.size
     hw = img_h * img_w
     n_chunks = -(-hw // chunk)
     padded = n_chunks * chunk
@@ -269,6 +277,25 @@ def make_render_fn(
     use_pallas = cfg.eval.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and cfg.nerf.sh_deg <= 2
+
+    def render_chunk(nerf_params, packed, rd, ro):
+        return render_rays_eval(
+            nerf_params, rd, ro, cfg.nerf, compute_dtype,
+            fine_mode=cfg.eval.fine_mode,
+            importance_samples=cfg.eval.importance_samples,
+            packed=packed,
+        )
+
+    if mesh is not None:
+        from mc_nerf_tpu.parallel.mesh import DATA_AXIS
+
+        render_chunk = jax.shard_map(
+            render_chunk,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_rep=False,
+        )
 
     def render(nerf_params, pose_w2c, K):
         pix = pixel_grid(img_h, img_w)
@@ -278,16 +305,10 @@ def make_render_fn(
         rays_o = rays_o.reshape(n_chunks, chunk, 3)
         packed = pack_eval_params(nerf_params, cfg.nerf) if use_pallas else None
 
-        def render_chunk(args):
-            rd, ro = args
-            return render_rays_eval(
-                nerf_params, rd, ro, cfg.nerf, compute_dtype,
-                fine_mode=cfg.eval.fine_mode,
-                importance_samples=cfg.eval.importance_samples,
-                packed=packed,
-            )
-
-        rgb, depth, opacity = jax.lax.map(render_chunk, (rays_d, rays_o))
+        rgb, depth, opacity = jax.lax.map(
+            lambda args: render_chunk(nerf_params, packed, *args),
+            (rays_d, rays_o),
+        )
         rgb = rgb.reshape(-1, 3)[:hw].reshape(img_h, img_w, 3)
         depth = depth.reshape(-1)[:hw].reshape(img_h, img_w)
         opacity = opacity.reshape(-1)[:hw].reshape(img_h, img_w)

@@ -90,3 +90,38 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_render_matches_unsharded():
+    """Eval render sharded over the 8-device mesh == single-device render."""
+    import dataclasses
+
+    from mc_nerf_tpu.config import Config, EvalConfig, NerfConfig
+    from mc_nerf_tpu.models.nerf import init_nerf_params
+    from mc_nerf_tpu.parallel.mesh import make_mesh
+    from mc_nerf_tpu.train.steps import make_render_fn
+
+    cfg = Config(
+        nerf=NerfConfig(
+            samples_coarse=16, sample_scale=4, fine_bins_topk=4, emb_freqs_xyz=4,
+            coarse_depth=2, coarse_width=16, coarse_skips=(1,),
+            fine_depth=2, fine_width=16, fine_skips=(1,),
+        ),
+        eval=EvalConfig(res_h=16, res_w=16, rays_per_chunk=64,
+                        importance_samples=8),
+        compute_dtype="float32",
+    )
+    params = init_nerf_params(jax.random.PRNGKey(3), cfg.nerf)
+    pose = jnp.asarray(
+        np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 4.0]], np.float32)
+    )
+    K = jnp.asarray(np.array([[16, 0, 8], [0, 16, 8], [0, 0, 1]], np.float32))
+
+    single = make_render_fn(cfg, 16, 16)
+    sharded = make_render_fn(cfg, 16, 16, mesh=make_mesh(8))
+    a = single(params, pose, K)
+    b = sharded(params, pose, K)
+    for x, y, name in zip(a, b, ("rgb", "depth", "opacity")):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), atol=1e-5, err_msg=name
+        )
