@@ -294,7 +294,7 @@ def make_render_fn(
             mesh=mesh,
             in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            check_rep=False,
+            check_vma=False,
         )
 
     def render(nerf_params, pose_w2c, K):
