@@ -9,7 +9,11 @@ training progress remapped into [barf_start, barf_end] with a cosine ramp
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def barf_weights(
@@ -56,6 +60,54 @@ def sincos_spectrum(x: jnp.ndarray, n_freqs: int):
     return jnp.stack(sins, axis=-1), jnp.stack(coss, axis=-1)
 
 
+def _encode_impl(x, n_freqs, freq_weights):
+    sin, cos = sincos_spectrum(x, n_freqs)          # [..., 3, L] each
+    if freq_weights is not None:
+        w = freq_weights.astype(x.dtype)
+        sin = sin * w
+        cos = cos * w
+    enc = jnp.stack([sin, cos], axis=-2)             # [..., 3, 2, L]
+    enc = enc.reshape(*x.shape[:-1], 3 * 2 * n_freqs)
+    return jnp.concatenate([x, enc], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _encode(x, n_freqs, freq_weights):
+    return _encode_impl(x, n_freqs, freq_weights)
+
+
+def _encode_fwd(x, n_freqs, freq_weights):
+    return _encode_impl(x, n_freqs, freq_weights), (x, freq_weights)
+
+
+def _encode_bwd(n_freqs, res, dfeat):
+    """Analytic gradient: the autodiff of the stack/transpose chain
+    materializes [..., 3, 2, L] cotangents in TPU-hostile layouts.  Build
+    the derivative spectrum with the same forward-shaped ops (d sin = 2^f
+    cos, d cos = -2^f sin), multiply lane-wise, and reduce each dim's 2L
+    lanes with one [6L, 3] selection matmul — no reshapes in the cotangent
+    path."""
+    x, freq_weights = res
+    sin, cos = sincos_spectrum(x.astype(jnp.float32), n_freqs)
+    f = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    if freq_weights is not None:
+        f = f * freq_weights.astype(jnp.float32)
+    dsin = cos * f                                   # [..., 3, L]
+    dcos = -sin * f
+    deriv = jnp.stack([dsin, dcos], axis=-2)         # [..., 3, 2, L]
+    deriv = deriv.reshape(*x.shape[:-1], 3 * 2 * n_freqs)
+    prod = dfeat[..., 3:].astype(jnp.float32) * deriv
+    sel = np.zeros((6 * n_freqs, 3), np.float32)
+    for d in range(3):
+        sel[d * 2 * n_freqs : (d + 1) * 2 * n_freqs, d] = 1.0
+    dx = dfeat[..., :3].astype(jnp.float32) + prod @ jnp.asarray(sel)
+    dfw = None if freq_weights is None else jnp.zeros_like(freq_weights)
+    return dx.astype(x.dtype), dfw
+
+
+_encode.defvjp(_encode_fwd, _encode_bwd)
+
+
 def sincos_encode(
     x: jnp.ndarray,
     n_freqs: int,
@@ -72,11 +124,4 @@ def sincos_encode(
     Returns:
       [..., 3*(2L+1)] encoded features ``[x, sin/cos spectrum]``.
     """
-    sin, cos = sincos_spectrum(x, n_freqs)          # [..., 3, L] each
-    if freq_weights is not None:
-        w = freq_weights.astype(x.dtype)
-        sin = sin * w
-        cos = cos * w
-    enc = jnp.stack([sin, cos], axis=-2)             # [..., 3, 2, L]
-    enc = enc.reshape(*x.shape[:-1], 3 * 2 * n_freqs)
-    return jnp.concatenate([x, enc], axis=-1)
+    return _encode(x, n_freqs, freq_weights)

@@ -155,3 +155,20 @@ def test_mlp_matches_torch_linear_stack(rng):
     sigma_j, sh_j = apply_nerf_mlp(params, jnp.asarray(x), skips, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(sigma_j), sigma_t.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sh_j), sh_t.numpy(), atol=1e-4)
+
+
+def test_encode_custom_vjp_matches_autodiff(rng):
+    from mc_nerf_tpu.models.encoding import _encode_impl
+
+    x = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(40, 63)).astype(np.float32))
+    w = np.linspace(0.2, 1.0, 10).astype(np.float32)
+
+    for fw in (None, jnp.asarray(w)):
+        g_custom = jax.grad(lambda xx: jnp.sum(sincos_encode(xx, 10, fw) * r))(x)
+        g_auto = jax.grad(lambda xx: jnp.sum(_encode_impl(xx, 10, fw) * r))(x)
+        # gradients scale with 2^f, so compare relatively (recurrence error
+        # ~1e-3 relative at octave 10)
+        np.testing.assert_allclose(
+            np.asarray(g_custom), np.asarray(g_auto), rtol=3e-3, atol=1e-3
+        )
