@@ -27,7 +27,6 @@ import numpy as np
 # Recorded in BASELINE.md; the driver's north star is >10x this.
 BASELINE_RAYS_PER_SEC_PER_CHIP = 7.0e4
 
-N_WARMUP = 3
 N_STEPS = 30
 
 
