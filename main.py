@@ -20,6 +20,12 @@ def main() -> None:
     cfg = from_args(args)
     logging.info("config: %s", cfg)
 
+    # multi-process wiring (ref utils/distributed_init.py:7-67): no-op for
+    # single-process runs, initializes jax.distributed under a launcher.
+    from mc_nerf_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     from mc_nerf_tpu.train.engine import Engine
 
     engine = Engine(cfg)

@@ -73,7 +73,9 @@ class TrainConfig:
     # reference-faithful path.
     fine_mode: str = "importance"
     importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
-    use_pallas: Optional[bool] = None  # fused fwd+bwd MLP kernel; None = auto (TPU)
+    # fused fwd+bwd MLP kernel for training; None = auto (resolved in
+    # train/steps.py:make_loss_fn against measured step throughput).
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

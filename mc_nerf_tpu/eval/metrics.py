@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -74,6 +75,13 @@ def ssim(
     return jnp.mean(ssim_map)
 
 
+@functools.lru_cache(maxsize=2)
+def _lpips_model(weights_path: Optional[str]):
+    from mc_nerf_tpu.eval import lpips_jax
+
+    return lpips_jax.load_default(weights_path)
+
+
 def lpips(
     pred: np.ndarray,
     gt: np.ndarray,
@@ -81,11 +89,13 @@ def lpips(
 ) -> Optional[float]:
     """LPIPS(alex) if weights are available, else None.
 
+    The model loads once per weights path (cached) — NOT per image like the
+    reference's ``lpips.LPIPS(net="alex")`` construction at ``main.py:239``.
     See :mod:`mc_nerf_tpu.eval.lpips_jax` for the weight file format.
     """
     from mc_nerf_tpu.eval import lpips_jax
 
-    model = lpips_jax.load_default(weights_path)
+    model = _lpips_model(weights_path)
     if model is None:
         return None
     return float(lpips_jax.lpips_distance(model, pred, gt))

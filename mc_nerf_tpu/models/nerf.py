@@ -141,7 +141,7 @@ def render_rays_train(
 
     Returns (rgb_coarse [R,3], rgb_fine [R,3]).
     """
-    kj, kn_c, kn_sel, kn_f = jax.random.split(key, 4)
+    kj, kn_c, kn_sel, kn_pdf, kn_f = jax.random.split(key, 5)
     n_rays = rays_d.shape[0]
     sc = cfg.samples_coarse
 
@@ -187,7 +187,7 @@ def render_rays_train(
     w_sel = sigma_to_weights(deltas_c, jax.lax.stop_gradient(sigma_c), kn_sel)
 
     if fine_mode == "importance":
-        z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_sel)
+        z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_pdf)
         xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
         sigma_f, rgb_f = shade_f(xyz_f)
         out_f = composite(
@@ -210,8 +210,12 @@ def render_rays_train(
     sigma_f, rgb_f = shade_f(xyz_f)
     sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
+    # max_delta: z_f is a gathered subset of the uniform fine grid; the
+    # reference composites the FULL grid (delta == step everywhere), so a
+    # selection gap must not inflate the preceding sample's alpha.
     out_f = composite(
-        z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back, last_inf=False
+        z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back,
+        last_inf=False, max_delta=step_f,
     )
     return out_c.rgb, out_f.rgb
 
@@ -341,6 +345,6 @@ def render_rays_eval(
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     out = composite(
         z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
-        last_inf=False,
+        last_inf=False, max_delta=step_f,
     )
     return out.rgb, out.depth, out.opacity

@@ -46,10 +46,6 @@ double cross(const Pt& o, const Pt& a, const Pt& b) {
 std::vector<Pt> convex_hull(std::vector<Pt> pts) {
   size_t n = pts.size();
   if (n < 3) return pts;
-  // sort by (x, y)
-  for (size_t i = 1; i < n; ++i) {  // insertion sort is fine at our sizes? no — O(n^2) on 1e4 pts is 1e8; use std::sort
-    (void)i;
-  }
   std::sort(pts.begin(), pts.end(), [](const Pt& a, const Pt& b) {
     return a.x < b.x || (a.x == b.x && a.y < b.y);
   });

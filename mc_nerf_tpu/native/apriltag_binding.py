@@ -9,7 +9,9 @@ reference's consumption format: per tag, (tag_id, center, corners
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 from typing import List, NamedTuple, Optional
@@ -20,9 +22,17 @@ from mc_nerf_tpu.data.tag36h11 import TAG36H11_CODES
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "apriltag")
 _SRC = os.path.join(_SRC_DIR, "detector.cpp")
-_LIB = os.path.join(_SRC_DIR, "libmcn_apriltag.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
+
+
+def _lib_path() -> str:
+    """Build artifact keyed on source content hash + platform tag, so a stale
+    or foreign-arch binary is never dlopened (the .so is not in VCS)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    tag = f"{platform.system()}-{platform.machine()}".lower()
+    return os.path.join(_SRC_DIR, f"libmcn_apriltag-{tag}-{digest}.so")
 
 
 class TagDetection(NamedTuple):
@@ -36,12 +46,14 @@ class TagDetection(NamedTuple):
         return np.concatenate([self.center[None], self.corners], axis=0)
 
 
-def _build() -> None:
+def _build(lib_path: str) -> None:
+    tmp = lib_path + ".tmp"
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC,
+        "-o", tmp, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)  # atomic: concurrent builders race safely
 
 
 def _load() -> ctypes.CDLL:
@@ -49,9 +61,10 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.mcn_detect_tags.restype = ctypes.c_int
         lib.mcn_detect_tags.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,

@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 
-def compute_deltas(z_vals: jnp.ndarray, last_inf: bool = True) -> jnp.ndarray:
+def compute_deltas(
+    z_vals: jnp.ndarray,
+    last_inf: bool = True,
+    max_delta: Optional[float] = None,
+) -> jnp.ndarray:
     """Inter-sample distances along the ray.
 
     Args:
@@ -37,11 +41,18 @@ def compute_deltas(z_vals: jnp.ndarray, last_inf: bool = True) -> jnp.ndarray:
       last_inf: append 1e10 as the final delta (ref mc_nerf.py:708-710);
         otherwise repeat the final spacing (used for gathered fine subsets,
         where the white background is added explicitly instead).
+      max_delta: clamp every delta to this value.  Used when ``z_vals`` is a
+        gathered subset of a uniform grid: the reference composites the FULL
+        fine grid where every sample's delta is the grid step and skipped
+        samples are effectively transparent (mc_nerf.py:692-710), so a
+        selection gap must not inflate the delta of the sample before it.
 
     Returns:
       [..., S] deltas.
     """
     d = z_vals[..., 1:] - z_vals[..., :-1]
+    if max_delta is not None:
+        d = jnp.minimum(d, max_delta)
     if last_inf:
         last = jnp.full_like(d[..., :1], 1e10)
     else:
@@ -96,6 +107,7 @@ def composite(
     noise_key: Optional[jax.Array] = None,
     white_back: bool = True,
     last_inf: bool = True,
+    max_delta: Optional[float] = None,
 ) -> CompositeResult:
     """Alpha-composite per-sample density/color into per-ray outputs.
 
@@ -111,8 +123,9 @@ def composite(
       noise_key: PRNG key for training-time sigma noise (None = eval).
       white_back: add (1 - sum w) white background (ref mc_nerf.py:724-725).
       last_inf: see :func:`compute_deltas`.
+      max_delta: see :func:`compute_deltas` (grid-subset composites).
     """
-    deltas = compute_deltas(z_vals, last_inf=last_inf)
+    deltas = compute_deltas(z_vals, last_inf=last_inf, max_delta=max_delta)
     sigma_delta = jax.nn.softplus(sigma) * deltas
     alpha = 1.0 - jnp.exp(-sigma_delta)
     t_exclusive = jnp.exp(

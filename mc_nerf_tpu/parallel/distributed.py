@@ -19,9 +19,21 @@ parity but meaningless under XLA device enumeration.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
+
+# env hints that indicate a launcher/cluster is present (jax.distributed's
+# cluster auto-detection reads these, or the TPU runtime provides its own)
+_CLUSTER_ENV_HINTS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "OMPI_MCA_orte_hnp_uri",     # OpenMPI
+    "SLURM_JOB_ID",              # Slurm
+)
 
 
 def initialize_distributed(
@@ -31,29 +43,36 @@ def initialize_distributed(
 ) -> None:
     """Initialize multi-process JAX when running with >1 process.
 
-    Safe to call unconditionally: no-ops for single-process runs and when
-    the runtime has already initialized (e.g. under a launcher that calls
-    ``jax.distributed.initialize`` itself).
+    Safe to call unconditionally: no-ops for single-process runs (no cluster
+    env present) and when the runtime has already initialized (e.g. under a
+    launcher that calls ``jax.distributed.initialize`` itself).
     """
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _log_topology()
+        return
+    # auto mode: initialize only when a launcher/cluster environment is
+    # detectable — never touch the distributed runtime on plain CLI runs.
+    if not any(os.environ.get(k) for k in _CLUSTER_ENV_HINTS):
+        return
     try:
         if jax.process_count() > 1:
             return  # already initialized by the runtime
     except RuntimeError:
         pass
-    if coordinator_address is None and num_processes is None:
-        # auto mode: only meaningful on multi-host TPU slices where the
-        # runtime provides the cluster env; elsewhere this is a no-op
-        try:
-            jax.distributed.initialize()
-            logging.info(
-                "jax.distributed initialized: process %d / %d, %d local devices",
-                jax.process_index(), jax.process_count(), jax.local_device_count(),
-            )
-        except Exception:
-            pass
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
+    try:
+        jax.distributed.initialize()
+        _log_topology()
+    except Exception as e:
+        logging.warning("jax.distributed auto-init failed (continuing single-process): %s", e)
+
+
+def _log_topology() -> None:
+    logging.info(
+        "jax.distributed initialized: process %d / %d, %d local devices",
+        jax.process_index(), jax.process_count(), jax.local_device_count(),
     )

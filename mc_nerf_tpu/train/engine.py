@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import time
 from typing import Optional
 
@@ -56,6 +57,27 @@ from mc_nerf_tpu.utils.visualization import (
     camera_error_table,
     save_pose_plot,
 )
+
+
+def _parse_demo_ckpt(name: str) -> Optional[int]:
+    """Epoch selector from the yaml ``nerf_model_name`` key.
+
+    The reference loads a *named* checkpoint for demo
+    (``config/config.yaml:33``: e.g. ``Ball_Computer-EPOCH-51-<ts>.ckpt``,
+    consumed at ``model/mc_nerf.py:577-584``).  Our checkpoints are keyed by
+    epoch, so accept either a bare epoch number or a reference-style name
+    with an ``EPOCH-<n>`` segment; empty/unparseable means "latest".
+    """
+    name = (name or "").strip()
+    if not name:
+        return None
+    if name.isdigit():
+        return int(name)
+    m = re.search(r"EPOCH-(\d+)", name)
+    if m:
+        return int(m.group(1))
+    logging.warning("demo_ckpt %r has no epoch; using the latest checkpoint", name)
+    return None
 
 
 class Engine:
@@ -107,6 +129,13 @@ class Engine:
 
     def _train_data(self) -> TrainData:
         imgs = self.scene.train.images_u8.reshape(self.n_train, -1, 3)
+        # real-data path: a reference Blender-format scene has no detection
+        # cache; run the C++ tag36h11 detector over the calib/coord images
+        # (the reference runs libapriltag at startup, data_read.py:171-214).
+        # No-op when the cache already exists (synthetic scenes ship one).
+        from mc_nerf_tpu.data.calibration import build_calibration_cache
+
+        build_calibration_cache(self.cfg.scene_dir)
         calib = load_calibration(self.cfg.scene_dir, self.cfg.apriltag_size)
         return TrainData(images_u8=jnp.asarray(imgs), calib=calib)
 
@@ -290,6 +319,8 @@ class Engine:
         bugs fixed (last-GT comparison; /200 hardcode).
         """
         cfg = self.cfg
+        if ckpt_epoch is None:
+            ckpt_epoch = _parse_demo_ckpt(cfg.eval.demo_ckpt)
         self.state, epoch = ckpt_lib.restore_checkpoint(
             self.ckpt_dir, self.state, ckpt_epoch
         )

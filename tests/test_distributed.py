@@ -1,0 +1,71 @@
+"""Multi-process jax.distributed wiring test (SURVEY §2.3 / ref
+utils/distributed_init.py:7-67): two real OS processes form a cluster over a
+local coordinator, see each other's devices, and a cross-process psum
+produces the global device count.  The CPU analogue of a 2-host TPU launch.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, os.getcwd())
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from mc_nerf_tpu.parallel.distributed import initialize_distributed
+
+    addr, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    initialize_distributed(
+        coordinator_address=addr, num_processes=n_proc, process_id=pid
+    )
+    assert jax.process_count() == n_proc, jax.process_count()
+    assert jax.local_device_count() == 2
+
+    import jax.numpy as jnp
+
+    # cross-process collective: psum of ones over every global device
+    total = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+        jnp.ones((jax.local_device_count(),))
+    )
+    print("PSUM_TOTAL", float(total[0]), flush=True)
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_cluster(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    addr = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), addr, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.getcwd(), env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        # 2 processes x 2 local devices -> global psum of ones == 4
+        assert "PSUM_TOTAL 4.0" in out, out

@@ -76,6 +76,31 @@ def test_engine_full_cycle(scene_dir, tmp_path):
     assert len(os.listdir(os.path.join(result["out_dir"], "depth"))) == 2
 
 
+def test_engine_builds_calibration_cache_from_rendered_scene(tmp_path):
+    """Real-data ingestion: a Blender-format scene with calib/coord images
+    but NO detection cache trains end-to-end — the engine runs the C++
+    tag36h11 detector at startup (ref data_read.py:171-214)."""
+    from mc_nerf_tpu.native.apriltag_binding import detector_available
+
+    if not detector_available():
+        pytest.skip("C++ detector unavailable")
+    d = str(tmp_path / "Rendered")
+    make_dataset(
+        d, n_train=3, n_val=1, n_test=1, img_h=96, img_w=96, seed=2,
+        calibration_mode="rendered",
+    )
+    cache = os.path.join(d, "calibration_cache.npz")
+    os.remove(cache)
+
+    cfg = small_cfg(d, str(tmp_path / "out")).replace(
+        stages=StageConfig(cam_param_epochs=1, global_opt_epochs=0, fine_tune_epochs=0),
+    )
+    engine = Engine(cfg)
+    state = engine.train()
+    assert os.path.exists(cache), "engine should have rebuilt the detection cache"
+    assert int(state.step) == engine.steps_per_epoch
+
+
 def test_engine_resume(scene_dir, tmp_path):
     cfg = small_cfg(scene_dir, str(tmp_path))
     engine = Engine(cfg)

@@ -129,6 +129,37 @@ def test_expand_bins_to_samples():
     np.testing.assert_array_equal(np.asarray(s_valid)[0, 5:], False)
 
 
+def test_gathered_composite_matches_full_grid_across_gaps():
+    """Compositing a gathered grid subset with max_delta=grid step must match
+    the reference's full-grid composite even when the selection has gaps:
+    without the clamp, the sample before a gap absorbs the gap's length into
+    its delta and its alpha inflates (ADVICE r1, medium)."""
+    sf, near, far = 64, 1.0, 8.0
+    step = (far - near) / (sf - 1)
+    z_full = np.broadcast_to(
+        np.linspace(near, far, sf, dtype=np.float32), (1, sf)
+    ).copy()
+    sigma_full = np.full((1, sf), -20.0, np.float32)   # ref sigma_default
+    rgb_full = np.ones((1, sf, 3), np.float32)         # ref default white
+    sel = np.array([5, 6, 7, 8, 9, 30, 31, 32, 33, 34])  # two runs, big gap
+    sigma_full[0, sel] = 0.7                           # semi-transparent
+    rgb_full[0, sel] = [0.2, 0.5, 0.8]
+    ref_rgb, _, _, _ = _ref_inference_composite(z_full, sigma_full, rgb_full)
+
+    z_g = jnp.asarray(z_full[:, sel])
+    sigma_g = jnp.asarray(sigma_full[:, sel])
+    rgb_g = jnp.asarray(rgb_full[:, sel])
+    out = composite(z_g, sigma_g, rgb_g, noise_key=None, white_back=True,
+                    last_inf=False, max_delta=step)
+    np.testing.assert_allclose(np.asarray(out.rgb), ref_rgb, atol=1e-3)
+
+    # without the clamp the gap-boundary sample's alpha inflates and the
+    # composite diverges — the regression this test pins down.
+    out_bad = composite(z_g, sigma_g, rgb_g, noise_key=None, white_back=True,
+                        last_inf=False)
+    assert np.abs(np.asarray(out_bad.rgb) - ref_rgb).max() > 0.05
+
+
 def test_sigma_noise_is_applied(rng):
     z = np.sort(rng.uniform(1, 8, size=(4, 32)), axis=-1).astype(np.float32)
     sigma = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
