@@ -24,8 +24,16 @@ import numpy as np
 # Anchor: PyTorch reference on one modern GPU (its recommended 2-GPU run
 # scales the epoch, not the per-step ray count). ~1.8M MLP point-evals per
 # 7000-ray step puts a 3090-class GPU at O(10) steps/s => ~7e4 rays/s/chip.
-# Recorded in BASELINE.md; the driver's north star is >10x this.
+# No GPU exists here to measure it, so the GPU anchor stays an ESTIMATE —
+# but it is grounded by a same-hardware measurement: the reference's own
+# NeRF_Model.render_rays_train fwd+bwd, imported and run on this host's CPU,
+# does 110 rays/s vs our reference-faithful grid mode's 71 rays/s at the
+# identical 256-ray workload (scripts/dev_ref_bench.py, BASELINE.md) — i.e.
+# vs_baseline figures compare against a healthy, not-slower-than-reference
+# implementation scaled by the GPU estimate, and carry that estimate's
+# uncertainty only.
 BASELINE_RAYS_PER_SEC_PER_CHIP = 7.0e4
+ANCHOR_KIND = "estimated"  # see above + BASELINE.md "anchor grounding"
 
 N_STEPS = 30
 
@@ -104,6 +112,7 @@ def main() -> None:
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_PER_CHIP, 3),
+                "anchor": ANCHOR_KIND,
             }
         )
     )

@@ -47,14 +47,15 @@ def setup(cfg):
     return state, data, epoch
 
 
-def bench(name, cfg, n_epochs=4, steps_per_epoch=30):
+def bench(name, cfg, n_epochs=4, steps_per_epoch=30, aabb=None):
     state, data, epoch = setup(cfg)
     key = jax.random.PRNGKey(7)
-    state, m = epoch(state, data, jax.random.fold_in(key, 0))
+    args = () if aabb is None else (jnp.asarray(aabb, jnp.float32),)
+    state, m = epoch(state, data, jax.random.fold_in(key, 0), *args)
     _ = float(m["loss"])  # force
     t0 = time.time()
     for i in range(1, n_epochs + 1):
-        state, m = epoch(state, data, jax.random.fold_in(key, i))
+        state, m = epoch(state, data, jax.random.fold_in(key, i), *args)
         loss = float(m["loss"])
     dt = (time.time() - t0) / (n_epochs * steps_per_epoch)
     rays = cfg.train.rays_per_batch
