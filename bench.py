@@ -78,7 +78,16 @@ def main() -> None:
         calib_counts=counts, coord_counts=counts,
         cube_pts=jnp.asarray(tag_world_points(1.0)),
     )
-    data = TrainData(images_u8=images, calib=calib)
+    # occupancy culling (the default train path): throughput is shape-static
+    # — culling changes where samples land, never how many — so the grid's
+    # content cannot flatter the number; benchmark with the all-occupied
+    # (uniform-sampling) map, the most honest/conservative choice.
+    occ = None
+    if cfg.nerf.occ_grid_size > 0 and cfg.train.fine_mode == "importance":
+        from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+
+        occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+    data = TrainData(images_u8=images, calib=calib, occ=occ)
 
     # epoch-granular like the real engine: one lax.scan per epoch, one host
     # sync per epoch.  Per-step host syncs pay ~40 ms of tunnel round-trip

@@ -133,6 +133,20 @@ class NerfConfig:
     grid_nerf: int = 384
     sigma_init: float = 30.0
 
+    # --- occupancy-grid sample culling (ops/occupancy.py) — the working
+    # realization of the reference's dead voxel-cache idea.  Active when
+    # grid size > 0 and fine_mode == "importance" (the grid fine mode stays
+    # reference-faithful and uncullled).  An all-occupied grid reproduces
+    # stratified-uniform sampling exactly, so warmup needs no second path.
+    occ_grid_size: int = 64          # lattice resolution G (0 disables culling)
+    occ_thresh: float = 0.01         # occupied iff softplus(sigma)*coarse_step > this
+    occ_decay: float = 0.95          # EMA-max decay per refresh
+    occ_update_every: int = 1        # epochs between grid refreshes (stages 2-3)
+    occ_floor: float = 0.01          # exploration floor in the sampling PMF
+    occ_probes: int = 64             # per-ray occupancy probes across [near, far]
+    occ_coarse_samples: int = 64     # coarse samples/ray under culling
+    occ_dilate: bool = True          # 3^3 max-pool safety margin
+
     @property
     def samples_fine_grid(self) -> int:
         return self.samples_coarse * self.sample_scale
@@ -285,6 +299,15 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         sh_deg=get(model, "nerf", "MLP_deg", default=cfg.nerf.sh_deg),
         grid_nerf=get(model, "nerf", "grid_nerf", default=cfg.nerf.grid_nerf),
         sigma_init=get(model, "nerf", "sigma_init", default=cfg.nerf.sigma_init),
+        # extension keys (not in the reference schema): occupancy culling
+        occ_grid_size=get(model, "nerf", "occ_grid_size", default=cfg.nerf.occ_grid_size),
+        occ_thresh=get(model, "nerf", "occ_thresh", default=cfg.nerf.occ_thresh),
+        occ_decay=get(model, "nerf", "occ_decay", default=cfg.nerf.occ_decay),
+        occ_update_every=get(model, "nerf", "occ_update_every", default=cfg.nerf.occ_update_every),
+        occ_floor=get(model, "nerf", "occ_floor", default=cfg.nerf.occ_floor),
+        occ_probes=get(model, "nerf", "occ_probes", default=cfg.nerf.occ_probes),
+        occ_coarse_samples=get(model, "nerf", "occ_coarse_samples", default=cfg.nerf.occ_coarse_samples),
+        occ_dilate=get(model, "nerf", "occ_dilate", default=cfg.nerf.occ_dilate),
     )
     evalc = dataclasses.replace(
         cfg.eval,

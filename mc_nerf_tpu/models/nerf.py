@@ -27,6 +27,7 @@ from mc_nerf_tpu.ops.pallas.fused_mlp import (
     fused_shaded_mlp,
     pack_mlp_params,
 )
+from mc_nerf_tpu.ops.occupancy import occupancy_pmf
 from mc_nerf_tpu.ops.volume import (
     composite,
     compute_deltas,
@@ -125,6 +126,7 @@ def render_rays_train(
     importance_samples: int = 64,
     use_pallas: bool = False,
     interpret: bool = False,
+    occ: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training render: coarse + hierarchical fine pass with sigma noise.
 
@@ -139,17 +141,31 @@ def render_rays_train(
     ``importance_samples`` per ray, every fine evaluation useful) — the
     TPU-fast formulation; quality parity is checked by scripts/dev_convergence.
 
+    ``occ`` (importance mode only) is a ``[G*G, G]`` binary occupancy map
+    (:mod:`mc_nerf_tpu.ops.occupancy`): the coarse pass then draws
+    ``cfg.occ_coarse_samples`` stratified samples from the per-ray
+    occupancy PMF instead of walking the uniform grid — empty space is
+    never shaded.  An all-occupied map reproduces the uniform behavior.
+
     Returns (rgb_coarse [R,3], rgb_fine [R,3]).
     """
     kj, kn_c, kn_sel, kn_pdf, kn_f = jax.random.split(key, 5)
     n_rays = rays_d.shape[0]
     sc = cfg.samples_coarse
 
-    z_c = jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)
-    jitter = jax.random.uniform(
-        kj, (n_rays, 1), jnp.float32, 0.0, (cfg.far - cfg.near) / sc
-    )
-    z_c = z_c[None, :] + jitter                                     # [R, Sc]
+    if occ is not None:
+        if fine_mode != "importance":
+            raise ValueError("occupancy culling requires fine_mode='importance'")
+        sc = cfg.occ_coarse_samples
+        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_c = sample_pdf(z_probe, pmf, sc, key=kj)                  # [R, Sc]
+        jitter = None  # grid fine mode is unreachable below
+    else:
+        z_c = jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)
+        jitter = jax.random.uniform(
+            kj, (n_rays, 1), jnp.float32, 0.0, (cfg.far - cfg.near) / sc
+        )
+        z_c = z_c[None, :] + jitter                                 # [R, Sc]
 
     freq_w = (
         barf_weights(cfg.emb_freqs_xyz, step_r, barf_window[0], barf_window[1])
@@ -270,6 +286,7 @@ def render_rays_eval(
     importance_samples: int = 64,
     packed: Optional[Tuple[PackedMLP, PackedMLP]] = None,
     interpret: bool = False,
+    occ: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
 
@@ -290,9 +307,17 @@ def render_rays_eval(
     """
     n_rays = rays_d.shape[0]
     sc = cfg.samples_coarse
-    z_c = jnp.broadcast_to(
-        jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)[None, :], (n_rays, sc)
-    )
+    if occ is not None:
+        if fine_mode != "importance":
+            raise ValueError("occupancy culling requires fine_mode='importance'")
+        sc = cfg.occ_coarse_samples
+        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_c = sample_pdf(z_probe, pmf, sc)       # deterministic midpoint strata
+    else:
+        z_c = jnp.broadcast_to(
+            jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)[None, :],
+            (n_rays, sc),
+        )
     basis = sh_basis(cfg.sh_deg, rays_d)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]

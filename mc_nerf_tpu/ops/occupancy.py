@@ -1,0 +1,199 @@
+"""Occupancy-grid sample culling: the algorithmic lever on samples/ray.
+
+The 10x-per-chip throughput target is above bf16 speed-of-light at the
+reference's sample counts (BASELINE.md "speed-of-light check"), so raw
+kernel quality cannot reach it; NGP-era NeRFs get there by not evaluating
+the MLP in empty space.  The reference itself gestures at this with its
+dead ``grid_nerf``/``sigma_init`` config keys and the unused
+``query_sigma``/``update_sigma`` voxel-cache stubs
+(``/root/reference/model/mc_nerf.py:859-867``, ``config/config.yaml:65-66``)
+— here the idea is implemented TPU-first:
+
+  * a dense ``[G, G, G]`` grid of activated (softplus) coarse-MLP density
+    over the scene AABB (the reference's ``global_boader_min/max`` keys),
+    refreshed every N epochs by ONE batched lattice evaluation — no
+    scatters, no incremental point updates (HBM scatters measured
+    catastrophic on a v5e, BASELINE.md);
+  * per epoch the grid thresholds/dilates into a binary occupancy map laid
+    out ``[G*G, G]`` (z in lanes) so ray probes are *row* gathers plus a
+    lane one-hot reduction — the embedding-lookup form XLA/TPU handles
+    well, never a per-scalar gather;
+  * the train/eval renderers draw their coarse samples from a per-ray PMF
+    ``max(occupancy, floor)`` via the existing inverse-CDF sampler
+    (:func:`mc_nerf_tpu.ops.volume.sample_pdf`) — static shapes always:
+    culling changes *where* samples land, never how many there are.
+
+Correctness notes:
+  * an all-occupied grid (the initial state) gives a uniform PMF, i.e.
+    stratified-uniform coarse sampling — the pre-culling behavior — so
+    warmup needs no second code path and no shape change;
+  * skipping empty space is conservative by construction: empty cells have
+    softplus(sigma) ~ 0, so alpha there is ~0 regardless of sample spacing
+    and transmittance is unaffected;
+  * the refresh re-evaluates the whole lattice from the MLP (not from
+    training samples), so density appearing anywhere is always re-captured
+    — the ``floor`` keeps a little sampling pressure everywhere so the MLP
+    itself keeps receiving supervision in culled regions;
+  * culling presumes the scene fits the AABB — exactly what the
+    reference's ``global_boader_min/max`` declare; probes outside it read
+    as empty.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_nerf_tpu.config import NerfConfig
+
+
+class OccupancyGrid(NamedTuple):
+    """EMA-max activated density on the scene lattice.
+
+    ``density[i, j, k]`` = running max of softplus(sigma) at cell (i, j, k)
+    (x-major).  This is *derived* state: it is rebuilt from the coarse MLP
+    in one call, so it is never checkpointed — resume and demo re-derive it.
+    """
+
+    density: jnp.ndarray  # [G, G, G] float32
+
+
+def init_grid(g: int) -> OccupancyGrid:
+    """All-occupied grid: the sampling PMF starts uniform (= no culling)."""
+    return OccupancyGrid(density=jnp.full((g, g, g), 1e4, jnp.float32))
+
+
+def _lattice(g: int, lo: float, hi: float, key: Optional[jax.Array]) -> jnp.ndarray:
+    """[G^3, 3] sample points, one per cell: centers, or uniform within the
+    cell when a key is given (jitter decorrelates successive refreshes so
+    the EMA-max sweeps each cell's volume, as in NGP's grid update)."""
+    cell = (hi - lo) / g
+    axis = lo + (jnp.arange(g, dtype=jnp.float32) + 0.5) * cell
+    x, y, z = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    if key is not None:
+        pts = pts + jax.random.uniform(
+            key, pts.shape, jnp.float32, -0.5 * cell, 0.5 * cell
+        )
+    return pts
+
+
+def update_grid(
+    grid: Optional[OccupancyGrid],
+    sigma_act_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    g: int,
+    lo: float,
+    hi: float,
+    key: Optional[jax.Array] = None,
+    decay: float = 0.95,
+    chunk: int = 262144,
+) -> OccupancyGrid:
+    """Refresh the grid from the coarse MLP: one dense lattice evaluation.
+
+    Args:
+      grid: previous grid for the EMA-max ``max(decay * old, new)``; None
+        rebuilds from scratch (resume / demo).
+      sigma_act_fn: ``[P, 3] -> [P]`` activated density (softplus of the
+        coarse MLP's sigma head) — a closure over the current parameters.
+      g, lo, hi: lattice size and AABB.
+      key: optional jitter key (see :func:`_lattice`).
+      decay: EMA-max decay per refresh.
+      chunk: lattice points per ``lax.map`` step (bounds activation memory;
+        G=128 is 2M points, ~1 GB of width-128 bf16 activations unchunked).
+
+    Returns:
+      the refreshed :class:`OccupancyGrid`.
+    """
+    pts = _lattice(g, lo, hi, key)
+    n = pts.shape[0]
+    if n % chunk:
+        pad = -(-n // chunk) * chunk - n
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)])
+    act = jax.lax.map(sigma_act_fn, pts.reshape(-1, chunk, 3)).reshape(-1)[:n]
+    act = act.reshape(g, g, g)
+    if grid is not None:
+        act = jnp.maximum(decay * grid.density, act)
+    return OccupancyGrid(density=act)
+
+
+def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
+    """Threshold + dilate the density grid into the sampler's occupancy map.
+
+    A cell is occupied iff one coarse-step's worth of its density would
+    contribute alpha above ``occ_thresh``:
+    ``softplus(sigma) * coarse_step > occ_thresh`` (alpha = 1 - exp(-x) ~ x
+    at these magnitudes).  A 3^3 max-pool dilation then pads every occupied
+    cell by one voxel so boundary geometry is never starved.
+
+    Returns:
+      [G*G, G] float32 in {0, 1}; row = ix * G + iy, lane = iz.
+    """
+    g = grid.density.shape[0]
+    step_c = (cfg.far - cfg.near) / cfg.samples_coarse
+    occ = (grid.density * step_c > cfg.occ_thresh).astype(jnp.float32)
+    if cfg.occ_dilate:
+        occ = jax.lax.reduce_window(
+            occ, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+    return occ.reshape(g * g, g)
+
+
+def probe_occupancy(
+    occ2d: jnp.ndarray,
+    lo: float,
+    hi: float,
+    x: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occupancy at world points, gather-light.
+
+    The lookup gathers whole z-rows (``jnp.take`` over the leading axis —
+    the embedding-lookup form the TPU gather path vectorizes) and resolves
+    the z lane with a one-hot masked reduction; out-of-AABB points read 0.
+
+    Args:
+      occ2d: [G*G, G] binary map from :func:`binary_grid`.
+      lo, hi: AABB bounds.
+      x: [..., 3] world points.
+
+    Returns:
+      [...] float32 occupancy in {0, 1}.
+    """
+    g = occ2d.shape[-1]
+    u = (x - lo) / (hi - lo) * g                         # [..., 3] in voxel units
+    idx = jnp.floor(u).astype(jnp.int32)
+    inb = jnp.all((idx >= 0) & (idx < g), axis=-1)
+    idx = jnp.clip(idx, 0, g - 1)
+    rows = jnp.take(occ2d, idx[..., 0] * g + idx[..., 1], axis=0)   # [..., G]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+    val = jnp.sum(jnp.where(lane == idx[..., 2:3], rows, 0.0), axis=-1)
+    return val * inb.astype(val.dtype)
+
+
+def occupancy_pmf(
+    occ2d: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: NerfConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray coarse-sampling PMF from the occupancy map.
+
+    Probes ``occ_probes`` uniform depths across [near, far] per ray and
+    floors the result so culled space keeps ``occ_floor`` of each probe's
+    mass (exploration + robustness to grid staleness).
+
+    Args:
+      occ2d: [G*G, G] binary map.
+      rays_o, rays_d: [R, 3] ray origins/directions.
+      cfg: NeRF config (near/far/AABB/probe count).
+
+    Returns:
+      (z_probe [R, P] probe depths, pmf [R, P] unnormalized weights).
+    """
+    p = cfg.occ_probes
+    z = jnp.linspace(cfg.near, cfg.far, p, dtype=jnp.float32)
+    z = jnp.broadcast_to(z[None, :], (rays_o.shape[0], p))
+    x = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = probe_occupancy(occ2d, cfg.bound_min, cfg.bound_max, x)
+    return z, occ + cfg.occ_floor

@@ -38,7 +38,15 @@ from mc_nerf_tpu.models.camera_params import (
     init_camera_params,
     intrinsics,
 )
+from mc_nerf_tpu.models.encoding import sincos_encode
+from mc_nerf_tpu.models.mlp import apply_nerf_mlp
 from mc_nerf_tpu.models.nerf import init_nerf_params
+from mc_nerf_tpu.ops.occupancy import (
+    OccupancyGrid,
+    binary_grid,
+    init_grid,
+    update_grid,
+)
 from mc_nerf_tpu.parallel.mesh import make_mesh
 from mc_nerf_tpu.train import checkpoint as ckpt_lib
 from mc_nerf_tpu.train.optim import Params, build_optimizers
@@ -125,6 +133,68 @@ class Engine:
         self._render_fns = {}
         self._table_rows = []
 
+        # occupancy-grid culling state (ops/occupancy.py): the EMA density
+        # grid is derived from the coarse MLP, never checkpointed — resume
+        # and demo rebuild it in one lattice evaluation.
+        self.occ_grid: Optional[OccupancyGrid] = None
+        self._occ2d = None          # current binary map fed to train/eval
+        self._grid_refresh = None   # cached jitted refresh fns
+
+    # -------------------------------------------------------------- occupancy
+
+    @property
+    def _occ_train(self) -> bool:
+        return (
+            self.cfg.nerf.occ_grid_size > 0
+            and self.cfg.train.fine_mode == "importance"
+        )
+
+    @property
+    def _occ_eval(self) -> bool:
+        return (
+            self.cfg.nerf.occ_grid_size > 0
+            and self.cfg.eval.fine_mode == "importance"
+        )
+
+    def _grid_refresh_fns(self):
+        """(ema_refresh, fresh_refresh) jitted closures over the config."""
+        if self._grid_refresh is None:
+            nc = self.cfg.nerf
+            cd = jnp.dtype(self.cfg.compute_dtype)
+
+            def refresh(coarse_params, prev_density, key):
+                def act(pts):
+                    enc = sincos_encode(pts, nc.emb_freqs_xyz, None)
+                    sigma, _ = apply_nerf_mlp(
+                        coarse_params, enc, nc.coarse_skips, cd, sigma_only=True
+                    )
+                    return jax.nn.softplus(sigma.reshape(-1))
+
+                prev = None if prev_density is None else OccupancyGrid(prev_density)
+                g = update_grid(
+                    prev, act, nc.occ_grid_size, nc.bound_min, nc.bound_max,
+                    key=key, decay=nc.occ_decay,
+                )
+                return g.density, binary_grid(g, nc)
+
+            self._grid_refresh = (
+                jax.jit(refresh),
+                jax.jit(lambda cp, k: refresh(cp, None, k)),
+            )
+        return self._grid_refresh
+
+    def _refresh_occupancy(self, epoch: int) -> None:
+        """Refresh the EMA grid + binary map from the current coarse MLP."""
+        ema, fresh = self._grid_refresh_fns()
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.train.seed ^ 0x0CC), epoch)
+        coarse = self.state.params.nerf.coarse
+        if self.occ_grid is None:
+            density, occ2d = fresh(coarse, key)
+        else:
+            density, occ2d = ema(coarse, self.occ_grid.density, key)
+        self.occ_grid = OccupancyGrid(density)
+        self._occ2d = occ2d
+
     # ------------------------------------------------------------------ train
 
     def _train_data(self) -> TrainData:
@@ -171,6 +241,17 @@ class Engine:
                 start_epoch += 1
                 logging.info("Resumed from epoch %d", start_epoch - 1)
 
+        if self._occ_train:
+            if start_epoch > cfg.stages.cam_param_epochs:
+                # resume mid/post NeRF training: the grid is derived state —
+                # rebuild it from the restored coarse MLP in one call
+                self._refresh_occupancy(start_epoch - 1)
+            else:
+                self._occ2d = binary_grid(
+                    init_grid(cfg.nerf.occ_grid_size), cfg.nerf
+                )  # all-occupied: uniform sampling until the first refresh
+            data = data._replace(occ=self._occ2d)
+
         # profiling hook (SURVEY §5): MC_NERF_PROFILE=<dir> traces the first
         # epoch of each stage with jax.profiler (view with tensorboard)
         profile_dir = os.environ.get("MC_NERF_PROFILE")
@@ -209,6 +290,19 @@ class Engine:
             # only while the calibration stage still has epochs left to re-converge
             if stage == 0 and epoch < cfg.stages.cam_param_epochs - 1:
                 self._maybe_restart_cameras(data, epoch)
+
+            # refresh the occupancy grid from the coarse MLP once the NeRF
+            # stages are training it (first refresh replaces the all-occupied
+            # prior; later ones EMA-max into it)
+            if (
+                self._occ_train
+                and stage >= 1
+                and (epoch + 1 - cfg.stages.cam_param_epochs)
+                % cfg.nerf.occ_update_every
+                == 0
+            ):
+                self._refresh_occupancy(epoch)
+                data = data._replace(occ=self._occ2d)
 
             if is_main_process():
                 ckpt_lib.save_checkpoint(self.ckpt_dir, epoch, self.state)
@@ -277,10 +371,12 @@ class Engine:
         val = self.scene.val
         idx = epoch % val.count
         render = self._render_fn(val.img_h, val.img_w)
+        occ = self._occ2d if self._occ_eval else None
         rgb, depth, _ = render(
             self.state.params.nerf,
             jnp.asarray(val.poses_w2c[idx]),
             jnp.asarray(val.K[idx]),
+            occ,
         )
         pred = np.asarray(rgb)
         gt = val.images_u8[idx].astype(np.float32) / 255.0
@@ -327,6 +423,13 @@ class Engine:
         logging.info("Loaded checkpoint epoch %d", epoch)
         test = self.scene.test
         render = self._render_fn(test.img_h, test.img_w)
+        occ = None
+        if self._occ_eval:
+            # derive the occupancy map from the restored coarse MLP (the
+            # grid is never checkpointed; one lattice eval rebuilds it)
+            self.occ_grid = None
+            self._refresh_occupancy(epoch)
+            occ = self._occ2d
 
         stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
         base = os.path.join(cfg.paths.render_dir + "_" + stamp)
@@ -340,6 +443,7 @@ class Engine:
                 self.state.params.nerf,
                 jnp.asarray(test.poses_w2c[i]),
                 jnp.asarray(test.K[i]),
+                occ,
             )
             pred = np.asarray(rgb)
             gt = test.images_u8[i].astype(np.float32) / 255.0

@@ -43,10 +43,17 @@ from mc_nerf_tpu.train.optim import Params
 
 
 class TrainData(NamedTuple):
-    """Device-resident per-scene training tensors (replicated)."""
+    """Device-resident per-scene training tensors (replicated).
+
+    ``occ`` is the binary occupancy map (``ops/occupancy.binary_grid``),
+    refreshed by the engine between epochs — constant within an epoch's
+    scan, so it rides here rather than in the carried :class:`TrainState`.
+    None disables culling (and is the pre-refresh / grid-fine-mode state).
+    """
 
     images_u8: jnp.ndarray   # [N, H*W, 3] uint8 white-composited train images
     calib: CalibrationData
+    occ: Optional[jnp.ndarray] = None   # [G*G, G] f32 binary occupancy
 
 
 class TrainState(NamedTuple):
@@ -168,6 +175,7 @@ def make_loss_fn(
             fine_mode=cfg.train.fine_mode,
             importance_samples=cfg.train.importance_samples,
             use_pallas=use_pallas,
+            occ=data.occ,
         )
         loss_c = rgb_loss(rgb_c, gt)
         loss_f = rgb_loss(rgb_f, gt)
@@ -264,8 +272,12 @@ def make_render_fn(
     device count with zero collectives (this is how the <1 s/frame v4-8
     target follows from the measured 1.77 s single-chip v5e figure).
 
-    ``(nerf_params, pose_w2c [3,4], K [3,3]) ->
+    ``(nerf_params, pose_w2c [3,4], K [3,3], occ=None) ->
       (rgb [H,W,3], depth [H,W], opacity [H,W])``
+
+    ``occ`` is an optional replicated binary occupancy map — eval then
+    draws its coarse samples from the occupancy PMF (importance mode only),
+    cutting the density-only coarse pass roughly in half.
     """
     chunk = rays_per_chunk or cfg.eval.rays_per_chunk
     if mesh is not None and chunk % mesh.size != 0:
@@ -278,12 +290,13 @@ def make_render_fn(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and cfg.nerf.sh_deg <= 2
 
-    def render_chunk(nerf_params, packed, rd, ro):
+    def render_chunk(nerf_params, packed, occ, rd, ro):
         return render_rays_eval(
             nerf_params, rd, ro, cfg.nerf, compute_dtype,
             fine_mode=cfg.eval.fine_mode,
             importance_samples=cfg.eval.importance_samples,
             packed=packed,
+            occ=occ,
         )
 
     if mesh is not None:
@@ -292,12 +305,12 @@ def make_render_fn(
         render_chunk = jax.shard_map(
             render_chunk,
             mesh=mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
         )
 
-    def render(nerf_params, pose_w2c, K):
+    def render(nerf_params, pose_w2c, K, occ=None):
         pix = pixel_grid(img_h, img_w)
         pix = jnp.pad(pix, ((0, padded - hw), (0, 0)))
         rays_d, rays_o = rays_for_pixels(pix, pose_w2c, K)
@@ -306,7 +319,7 @@ def make_render_fn(
         packed = pack_eval_params(nerf_params, cfg.nerf) if use_pallas else None
 
         rgb, depth, opacity = jax.lax.map(
-            lambda args: render_chunk(nerf_params, packed, *args),
+            lambda args: render_chunk(nerf_params, packed, occ, *args),
             (rays_d, rays_o),
         )
         rgb = rgb.reshape(-1, 3)[:hw].reshape(img_h, img_w, 3)

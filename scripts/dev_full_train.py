@@ -33,7 +33,11 @@ def main():
             fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "grid"),
             importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "64")),
         ),
-        nerf=NerfConfig(samples_coarse=64, sample_scale=5, fine_bins_topk=13),
+        nerf=NerfConfig(
+            samples_coarse=64, sample_scale=5, fine_bins_topk=13,
+            occ_grid_size=int(os.environ.get("MC_NERF_OCC_GRID", "64")),
+            occ_coarse_samples=int(os.environ.get("MC_NERF_OCC_COARSE", "64")),
+        ),
         eval=EvalConfig(res_h=hw, res_w=hw, rays_per_chunk=4096),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),

@@ -38,7 +38,12 @@ def setup(cfg):
         calib_counts=counts, coord_counts=counts,
         cube_pts=jnp.asarray(tag_world_points(1.0)),
     )
-    data = TrainData(images_u8=images, calib=calib)
+    occ = None
+    if cfg.nerf.occ_grid_size > 0 and cfg.train.fine_mode == "importance":
+        from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+
+        occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+    data = TrainData(images_u8=images, calib=calib, occ=occ)
     # epoch-granular like the real engine: one lax.scan, one host sync per
     # epoch (per-step float() syncs pay ~40 ms of tunnel latency each)
     epoch = make_stage_epoch(cfg, stage=1, tx=txs[1], img_h=img_h, img_w=img_w,
@@ -65,15 +70,33 @@ def bench(name, cfg, n_epochs=4, steps_per_epoch=30, aabb=None):
 def main():
     base = Config()
     variants = {
-        "grid+xla":      dict(fine_mode="grid", use_pallas=False),
-        "grid+pallas":   dict(fine_mode="grid", use_pallas=True),
-        "imp64+xla":     dict(fine_mode="importance", importance_samples=64, use_pallas=False),
-        "imp64+pallas":  dict(fine_mode="importance", importance_samples=64, use_pallas=True),
-        "imp128+pallas": dict(fine_mode="importance", importance_samples=128, use_pallas=True),
+        # (train overrides, nerf overrides)
+        "grid+xla":      (dict(fine_mode="grid", use_pallas=False), {}),
+        "grid+pallas":   (dict(fine_mode="grid", use_pallas=True), {}),
+        "imp64+xla":     (dict(fine_mode="importance", importance_samples=64, use_pallas=False),
+                          dict(occ_grid_size=0)),
+        "imp64+pallas":  (dict(fine_mode="importance", importance_samples=64, use_pallas=True),
+                          dict(occ_grid_size=0)),
+        "imp128+pallas": (dict(fine_mode="importance", importance_samples=128, use_pallas=True),
+                          dict(occ_grid_size=0)),
+        "occ64/imp64+xla":    (dict(fine_mode="importance", importance_samples=64, use_pallas=False),
+                               dict(occ_coarse_samples=64)),
+        "occ64/imp64+pallas": (dict(fine_mode="importance", importance_samples=64, use_pallas=True),
+                               dict(occ_coarse_samples=64)),
+        "occ48/imp48+xla":    (dict(fine_mode="importance", importance_samples=48, use_pallas=False),
+                               dict(occ_coarse_samples=48)),
+        "occ48/imp32+xla":    (dict(fine_mode="importance", importance_samples=32, use_pallas=False),
+                               dict(occ_coarse_samples=48)),
+        "occ48/imp32+pallas": (dict(fine_mode="importance", importance_samples=32, use_pallas=True),
+                               dict(occ_coarse_samples=48)),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:
-        cfg = base.replace(train=dataclasses.replace(base.train, **variants[name]))
+        tr, nf = variants[name]
+        cfg = base.replace(
+            train=dataclasses.replace(base.train, **tr),
+            nerf=dataclasses.replace(base.nerf, **nf),
+        )
         bench(name, cfg)
 
 

@@ -1,0 +1,196 @@
+"""Occupancy-grid culling (ops/occupancy.py).
+
+The working realization of the reference's dead voxel-cache idea
+(``/root/reference/model/mc_nerf.py:859-867``): a dense coarse-MLP density
+lattice culls empty space from the coarse sampling PMF.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_nerf_tpu.config import NerfConfig
+from mc_nerf_tpu.ops.occupancy import (
+    OccupancyGrid,
+    binary_grid,
+    init_grid,
+    occupancy_pmf,
+    probe_occupancy,
+    update_grid,
+)
+from mc_nerf_tpu.ops.volume import sample_pdf
+
+CFG = NerfConfig(occ_grid_size=16, occ_probes=32, occ_coarse_samples=16)
+G = CFG.occ_grid_size
+LO, HI = CFG.bound_min, CFG.bound_max
+
+
+def _sphere_act(pts, radius=1.5, inside=100.0):
+    """Analytic density field: dense inside a centered sphere, empty outside."""
+    r = jnp.linalg.norm(pts, axis=-1)
+    return jnp.where(r < radius, inside, 0.0)
+
+
+def test_init_grid_all_occupied():
+    occ2d = binary_grid(init_grid(G), CFG)
+    assert occ2d.shape == (G * G, G)
+    np.testing.assert_array_equal(np.asarray(occ2d), 1.0)
+
+
+def test_update_grid_fresh_marks_sphere():
+    grid = update_grid(None, _sphere_act, G, LO, HI, chunk=1024)
+    occ = np.asarray(binary_grid(grid, CFG)).reshape(G, G, G)
+    c = G // 2
+    assert occ[c, c, c] == 1.0          # center occupied
+    assert occ[0, 0, 0] == 0.0          # corner empty (|x| ~ 5.7 > 1.5)
+    # dilation: occupancy extends at least one voxel beyond the sphere
+    vox = (HI - LO) / G
+    n_occ = occ.sum()
+    sphere_voxels = 4 / 3 * np.pi * 1.5**3 / vox**3
+    assert n_occ > sphere_voxels        # >= sphere + dilation shell
+    assert n_occ < 0.5 * G**3           # but far from everywhere
+
+
+def test_update_grid_ema_max_decay():
+    g0 = OccupancyGrid(density=jnp.full((G, G, G), 10.0))
+    zero_act = lambda pts: jnp.zeros(pts.shape[:-1])
+    g1 = update_grid(g0, zero_act, G, LO, HI, decay=0.5, chunk=1024)
+    np.testing.assert_allclose(np.asarray(g1.density), 5.0, rtol=1e-6)
+    # new density wins where it exceeds the decayed previous value
+    g2 = update_grid(g1, lambda p: jnp.full(p.shape[:-1], 50.0), G, LO, HI,
+                     decay=0.5, chunk=1024)
+    np.testing.assert_allclose(np.asarray(g2.density), 50.0, rtol=1e-6)
+
+
+def test_probe_occupancy_lookup_and_oob():
+    occ = np.zeros((G, G, G), np.float32)
+    occ[3, 5, 7] = 1.0
+    occ2d = jnp.asarray(occ.reshape(G * G, G))
+    vox = (HI - LO) / G
+    center = lambda i: LO + (i + 0.5) * vox
+    pts = jnp.asarray([
+        [center(3), center(5), center(7)],     # the occupied voxel
+        [center(3), center(5), center(8)],     # neighbor: empty
+        [HI + 1.0, 0.0, 0.0],                  # out of AABB -> 0
+        [LO - 0.1, center(5), center(7)],      # just outside -> 0
+    ])
+    vals = np.asarray(probe_occupancy(occ2d, LO, HI, pts))
+    np.testing.assert_array_equal(vals, [1.0, 0.0, 0.0, 0.0])
+
+
+def test_pmf_floor_and_shape():
+    occ2d = jnp.zeros((G * G, G))  # all empty
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    z, pmf = occupancy_pmf(occ2d, rays_o, rays_d, CFG)
+    assert z.shape == (1, CFG.occ_probes) and pmf.shape == (1, CFG.occ_probes)
+    # empty scene: pure floor -> uniform PMF -> sampling degrades to uniform
+    np.testing.assert_allclose(np.asarray(pmf), CFG.occ_floor, rtol=1e-6)
+
+
+def test_all_occupied_pmf_sampling_is_uniform():
+    """The warmup invariant: an all-occupied grid must reproduce uniform
+    stratified sampling (same behavior as the unculled path)."""
+    occ2d = binary_grid(init_grid(G), CFG)
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    z, pmf = occupancy_pmf(occ2d, rays_o, rays_d, CFG)
+    zs = np.asarray(sample_pdf(z, pmf, CFG.occ_coarse_samples))[0]
+    # deterministic midpoint strata of a uniform pdf = uniform mids
+    spacing = np.diff(zs)
+    np.testing.assert_allclose(spacing, spacing[0], rtol=0.05)
+    assert zs[0] > CFG.near and zs[-1] < CFG.far
+
+
+def test_culled_sampling_concentrates_in_occupied_region():
+    grid = update_grid(None, _sphere_act, G, LO, HI, chunk=1024)
+    occ2d = binary_grid(grid, CFG)
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])   # crosses sphere at z in [1.5, 4.5]
+    z, pmf = occupancy_pmf(occ2d, rays_o, rays_d, CFG)
+    zs = np.asarray(sample_pdf(z, pmf, 32))[0]
+    frac_inside = np.mean((zs > 1.2) & (zs < 4.8))
+    assert frac_inside > 0.8, zs
+
+
+def test_render_rays_train_occ_matches_uniform_stats():
+    """Culled render with an all-occupied grid trains the same scene: the
+    rendered rgb must be statistically indistinguishable from the unculled
+    path (same MLP, same rays, different stratification jitter)."""
+    from mc_nerf_tpu.models.nerf import init_nerf_params, render_rays_train
+
+    cfg = NerfConfig(
+        samples_coarse=32, occ_grid_size=16, occ_probes=32,
+        occ_coarse_samples=32, emb_freqs_xyz=4,
+        coarse_depth=2, coarse_width=32, coarse_skips=(1,),
+        fine_depth=2, fine_width=32, fine_skips=(1,),
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    kd, ko = jax.random.split(jax.random.PRNGKey(1))
+    rays_d = jax.random.normal(kd, (64, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (64, 1))
+    occ2d = binary_grid(init_grid(cfg.occ_grid_size), cfg)
+
+    common = dict(
+        key=jax.random.PRNGKey(2), step_r=jnp.float32(0.5), cfg=cfg,
+        barf_window=(0.0, 1.0), barf_on=False, compute_dtype=jnp.float32,
+        fine_mode="importance", importance_samples=16,
+    )
+    c0, f0 = render_rays_train(params, rays_d, rays_o, **common)
+    c1, f1 = render_rays_train(params, rays_d, rays_o, occ=occ2d, **common)
+    assert jnp.all(jnp.isfinite(c1)) and jnp.all(jnp.isfinite(f1))
+    # same distribution, different strata: mean rgb agrees tightly
+    np.testing.assert_allclose(
+        np.asarray(c0).mean(0), np.asarray(c1).mean(0), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(f0).mean(0), np.asarray(f1).mean(0), atol=0.02
+    )
+
+
+def test_render_rays_train_occ_rejects_grid_mode():
+    from mc_nerf_tpu.models.nerf import init_nerf_params, render_rays_train
+
+    cfg = NerfConfig(
+        samples_coarse=8, emb_freqs_xyz=2, coarse_depth=1, coarse_width=8,
+        coarse_skips=(), fine_depth=1, fine_width=8, fine_skips=(),
+        occ_grid_size=8,
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    rays = jnp.ones((4, 3)) / np.sqrt(3.0)
+    occ2d = binary_grid(init_grid(8), cfg)
+    with pytest.raises(ValueError, match="importance"):
+        render_rays_train(
+            params, rays, rays * 0, jax.random.PRNGKey(1), jnp.float32(0.5),
+            cfg, (0.0, 1.0), False, fine_mode="grid", occ=occ2d,
+        )
+
+
+def test_render_rays_eval_occ_finite_and_close():
+    from mc_nerf_tpu.models.nerf import init_nerf_params, render_rays_eval
+
+    cfg = NerfConfig(
+        samples_coarse=32, occ_grid_size=16, occ_probes=32,
+        occ_coarse_samples=32, emb_freqs_xyz=4,
+        coarse_depth=2, coarse_width=32, coarse_skips=(1,),
+        fine_depth=2, fine_width=32, fine_skips=(1,),
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    kd, _ = jax.random.split(jax.random.PRNGKey(1))
+    rays_d = jax.random.normal(kd, (32, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]]), (32, 1))
+    occ2d = binary_grid(init_grid(cfg.occ_grid_size), cfg)
+
+    rgb0, d0, o0 = render_rays_eval(
+        params, rays_d, rays_o, cfg, jnp.float32, importance_samples=16
+    )
+    rgb1, d1, o1 = render_rays_eval(
+        params, rays_d, rays_o, cfg, jnp.float32, importance_samples=16,
+        occ=occ2d,
+    )
+    assert jnp.all(jnp.isfinite(rgb1))
+    # all-occupied grid: deterministic strata vs uniform grid — close output
+    np.testing.assert_allclose(np.asarray(rgb0), np.asarray(rgb1), atol=0.06)
