@@ -28,6 +28,7 @@ from mc_nerf_tpu.ops.pallas.fused_mlp import (
     pack_mlp_params,
 )
 from mc_nerf_tpu.ops.occupancy import occupancy_pmf
+from mc_nerf_tpu.ops.pallas.fused_render import fused_render
 from mc_nerf_tpu.ops.volume import (
     composite,
     compute_deltas,
@@ -173,6 +174,44 @@ def render_rays_train(
         else None
     )
     basis = sh_basis(cfg.sh_deg, rays_d)                            # [R, B]
+
+    if use_pallas and fine_mode == "importance":
+        # fully-fused path: MLP + SH shading + composite in one pallas call
+        # per pass (ops/pallas/fused_render.py) — the per-sample [P, 8]
+        # tensor never exists in HBM and XLA's composite chain disappears.
+        # PRNG consumption matches the XLA path exactly (same keys/shapes).
+        nb = (cfg.sh_deg + 1) ** 2
+        basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+        packed_c = pack_mlp_params(
+            params.coarse, cfg.emb_freqs_xyz, cfg.coarse_skips, dtype=jnp.float32
+        )
+        packed_f = pack_mlp_params(
+            params.fine, cfg.emb_freqs_xyz, cfg.fine_skips, dtype=jnp.float32
+        )
+        feat_c = encode_kernel_order(
+            (rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]).reshape(-1, 3),
+            cfg.emb_freqs_xyz, freq_w,
+        )
+        noise_c = jax.random.normal(kn_c, z_c.shape)
+        noise_sel = jax.random.normal(kn_sel, z_c.shape)
+        ray_c, wsel = fused_render(
+            packed_c, feat_c, basis16, z_c, noise_c, noise_sel,
+            cfg.coarse_depth, tuple(cfg.coarse_skips), z_c.shape[1], nb,
+            True, True, cfg.white_back, interpret,
+        )
+        w_sel = jax.lax.stop_gradient(wsel)
+        z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_pdf)
+        feat_f = encode_kernel_order(
+            (rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]).reshape(-1, 3),
+            cfg.emb_freqs_xyz, freq_w,
+        )
+        noise_f = jax.random.normal(kn_f, z_f.shape)
+        ray_f, _ = fused_render(
+            packed_f, feat_f, basis16, z_f, noise_f, None,
+            cfg.fine_depth, tuple(cfg.fine_skips), importance_samples, nb,
+            True, False, cfg.white_back, interpret,
+        )
+        return ray_c[:, :3], ray_f[:, :3]
 
     def shade_c(xyz):
         if use_pallas:
@@ -348,6 +387,19 @@ def render_rays_eval(
     if fine_mode == "importance":
         z_f = sample_pdf(z_c, w_sel, importance_samples)            # [R, K]
         xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+        if packed is not None:
+            # fused MLP + shading + composite in one kernel call
+            nb = (cfg.sh_deg + 1) ** 2
+            basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+            feat_f = encode_kernel_order(
+                xyz_f.reshape(-1, 3), cfg.emb_freqs_xyz, None
+            )
+            ray_f, _ = fused_render(
+                packed[1], feat_f, basis16, z_f, None, None,
+                cfg.fine_depth, tuple(cfg.fine_skips), importance_samples, nb,
+                False, False, cfg.white_back, interpret,
+            )
+            return ray_f[:, :3], ray_f[:, 3:4], ray_f[:, 4:5]
         sigma_f, rgb_f = shade_fine(xyz_f)
         out = composite(
             z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,

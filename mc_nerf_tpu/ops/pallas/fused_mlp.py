@@ -89,29 +89,38 @@ def _encode_core_fwd(xyz, n_freqs, freq_weights):
 
 
 def _encode_core_bwd(n_freqs, res, dfeat):
-    """Analytic encode gradient.
+    """Analytic encode gradient, lane-efficient.
 
-    XLA autodiff of the stack/transpose chain materializes [P,3,2,L]
-    cotangents whose TPU tile padding blows 218 MB of data up to 8.7 GB of
-    HBM at train scale; this recomputes the spectrum per octave in [P,3]
-    pieces instead (residual = xyz alone).  freq_weights is a schedule, not
-    a parameter — its cotangent is zero by construction.
+    The obvious per-octave loop accumulates on [P, 3] tensors — 3 of 128
+    VPU lanes busy — and profiled at 6.8 ms/step at train scale.  Instead:
+    rebuild the *derivative* spectrum in the kernel lane order with the
+    same forward-shaped chain (d sin = 2^f cos, d cos = -2^f sin), multiply
+    the full [P, 4+6L] cotangent lane-wise, and reduce each dim's lanes
+    with one [4+6L, 3] selection matmul — every op runs at full lane
+    width.  freq_weights is a schedule, not a parameter — its cotangent is
+    zero by construction.
     """
     xyz, freq_weights = res
     dfeat = dfeat.astype(jnp.float32)
     x32 = xyz.astype(jnp.float32)
-    s = jnp.sin(x32)
-    c = jnp.cos(x32)
-    dx = dfeat[:, :3]
-    for f in range(n_freqs):
-        if f > 0:
-            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-        scale = float(2.0 ** f)
-        if freq_weights is not None:
-            scale = scale * freq_weights[f].astype(jnp.float32)
-        ds = dfeat[:, ENC_PAD + 6 * f : ENC_PAD + 6 * f + 3]
-        dc = dfeat[:, ENC_PAD + 6 * f + 3 : ENC_PAD + 6 * f + 6]
-        dx = dx + scale * (c * ds - s * dc)
+    p = x32.shape[0]
+    sin, cos = sincos_spectrum(x32, n_freqs)         # [P, 3, L]
+    f = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    if freq_weights is not None:
+        f = f * freq_weights.astype(jnp.float32)
+    spec = jnp.stack([cos * f, -sin * f], axis=-2)   # [P, 3, 2, L]
+    spec = jnp.transpose(spec, (0, 3, 2, 1)).reshape(p, 6 * n_freqs)
+    header = jnp.concatenate(
+        [jnp.ones((p, 3), jnp.float32), jnp.zeros((p, 1), jnp.float32)], axis=1
+    )
+    deriv = jnp.concatenate([header, spec], axis=1)  # [P, 4+6L] kernel order
+    sel = np.zeros((encode_width(n_freqs), 3), np.float32)
+    for d in range(3):
+        sel[d, d] = 1.0
+        for fr in range(n_freqs):
+            sel[ENC_PAD + 6 * fr + d, d] = 1.0
+            sel[ENC_PAD + 6 * fr + 3 + d, d] = 1.0
+    dx = (dfeat * deriv) @ jnp.asarray(sel)
     dfw = None if freq_weights is None else jnp.zeros_like(freq_weights)
     return dx.astype(xyz.dtype), dfw
 

@@ -244,14 +244,25 @@ def make_stage_epoch(
     def epoch_fn(state: TrainState, data: TrainData, epoch_key: jax.Array):
         keys = jax.random.split(epoch_key, steps_per_epoch)
 
-        def body(st, key):
+        # carry ONLY the active stage's optimizer state through the scan:
+        # carrying the full 3-stage tuple measured 5.4 ms/step of while-loop
+        # carry copies (XLA fails to alias the untouched stages) — ~18% of
+        # the whole step at reference scale
+        def body(carry, key):
+            params, opt_state, step = carry
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, data, key, st.step
+                params, data, key, step
             )
-            return _update(st, grads, metrics, stage, tx)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_opt, step + 1), metrics
 
-        state, metrics = jax.lax.scan(body, state, keys)
-        return state, jax.tree.map(jnp.mean, metrics)
+        carry = (state.params, state.opt_states[stage], state.step)
+        (params, opt_state, step), metrics = jax.lax.scan(body, carry, keys)
+        new_opts = tuple(
+            opt_state if i == stage else s for i, s in enumerate(state.opt_states)
+        )
+        return TrainState(params, new_opts, step), jax.tree.map(jnp.mean, metrics)
 
     return jax.jit(epoch_fn, donate_argnums=(0,))
 

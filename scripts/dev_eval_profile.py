@@ -31,20 +31,26 @@ def main():
     )
     K = jnp.asarray(np.array([[800, 0, 400], [0, 800, 400], [0, 0, 1]], np.float32))
 
-    out = render(params, pose, K)
+    occ = None
+    if os.environ.get("MC_NERF_EVAL_OCC") == "1":
+        from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+
+        occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+
+    out = render(params, pose, K, occ)
     float(out[0].sum())  # force
     t0 = time.time()
     n = 3
     for _ in range(n):
-        out = render(params, pose, K)
+        out = render(params, pose, K, occ)
         s = float(out[0].sum())
     dt = (time.time() - t0) / n
-    print(f"chunk={chunk}: frame latency {dt*1e3:.0f} ms   (sum={s:.1f})")
+    print(f"chunk={chunk} occ={occ is not None}: frame latency {dt*1e3:.0f} ms   (sum={s:.1f})")
 
     prof_dir = "/tmp/eval_prof"
     os.system(f"rm -rf {prof_dir}")
     with jax.profiler.trace(prof_dir):
-        out = render(params, pose, K)
+        out = render(params, pose, K, occ)
         float(out[0].sum())
 
     traces = glob.glob(f"{prof_dir}/**/*.trace.json.gz", recursive=True)

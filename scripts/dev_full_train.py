@@ -32,6 +32,7 @@ def main():
             rays_per_batch=2048, steps_per_image_epoch=50,
             fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "grid"),
             importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "64")),
+            seed=int(os.environ.get("MC_NERF_SEED", "42")),
         ),
         nerf=NerfConfig(
             samples_coarse=64, sample_scale=5, fine_bins_topk=13,
@@ -48,7 +49,7 @@ def main():
         parallel=ParallelConfig(data_parallel=1),
     )
     engine = Engine(cfg)
-    engine.train()
+    engine.train(resume=True)
     result = Engine(cfg.replace(mode=1)).demo()
     print("DEMO RESULT:", result)
 
