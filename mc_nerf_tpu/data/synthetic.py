@@ -184,6 +184,93 @@ def orbit_rig(
     return np.stack(poses, axis=0), np.full(n_cams, np.deg2rad(fov_deg))
 
 
+def _random_fovs(n, rng, fov_range=(40.0, 80.0)):
+    rng = rng or np.random.default_rng(0)
+    return np.deg2rad(rng.uniform(fov_range[0], fov_range[1], size=n)), rng
+
+
+def array_rig(
+    n_cams: int,
+    z: float = -4.0,
+    extent: float = 2.4,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Planar camera grid at fixed z looking at the origin — the reference's
+    Array rig (``synthetic_dataset_code/Array.py:21-28, 169-224``: a 10x10
+    grid at z = -4, per-camera random FOV in [40, 80] deg)."""
+    fov, rng = _random_fovs(n_cams, rng)
+    side = int(np.ceil(np.sqrt(n_cams)))
+    xs = np.linspace(-extent, extent, side)
+    poses = []
+    for yy in xs:
+        for xx in xs:
+            if len(poses) >= n_cams:
+                break
+            poses.append(_look_at_c2w(np.array([xx, yy, z]), np.zeros(3)))
+    return np.stack(poses[:n_cams], axis=0), fov
+
+
+def halfball_rig(
+    n_cams: int,
+    radius: float = 3.0,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cameras on the upper hemisphere — the reference's HalfBall rig
+    (``synthetic_dataset_code/HalfBall.py:18-23, 162-215``)."""
+    fov, rng = _random_fovs(n_cams, rng)
+    n_az = max(4, int(np.ceil(np.sqrt(n_cams * 1.5))))
+    elevations = np.linspace(5, 80, max(2, int(np.ceil(n_cams / n_az))))
+    poses = []
+    for el in elevations:
+        for az in np.linspace(0, 360, n_az, endpoint=False):
+            if len(poses) >= n_cams:
+                break
+            phi = np.deg2rad(el + rng.uniform(-3, 3))
+            theta = np.deg2rad(az + rng.uniform(-3, 3))
+            pos = radius * np.array(
+                [np.cos(phi) * np.cos(theta), np.cos(phi) * np.sin(theta), np.sin(phi)]
+            )
+            poses.append(_look_at_c2w(pos, np.zeros(3)))
+    return np.stack(poses[:n_cams], axis=0), fov
+
+
+def room_rig(
+    n_cams: int,
+    size: Tuple[float, float, float] = (6.0, 4.0, 3.0),
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cameras on the walls of a box looking inward — the reference's Room
+    rig (``synthetic_dataset_code/Room.py:18-29, 171-363``: 88 cameras on
+    the walls/ceiling of a 6x4x3 room)."""
+    fov, rng = _random_fovs(n_cams, rng)
+    hx, hy, hz = size[0] / 2, size[1] / 2, size[2] / 2
+    # walls weighted by area: +-x, +-y walls and the ceiling
+    walls = []
+    for _ in range(n_cams):
+        w = rng.integers(0, 5)
+        u, v = rng.uniform(-0.8, 0.8, size=2)
+        if w == 0:
+            pos = np.array([hx, u * hy, v * hz])
+        elif w == 1:
+            pos = np.array([-hx, u * hy, v * hz])
+        elif w == 2:
+            pos = np.array([u * hx, hy, v * hz])
+        elif w == 3:
+            pos = np.array([u * hx, -hy, v * hz])
+        else:
+            pos = np.array([u * hx, v * hy, hz])
+        walls.append(_look_at_c2w(pos, np.zeros(3)))
+    return np.stack(walls, axis=0), fov
+
+
+RIGS = {
+    "ball": ball_rig,
+    "array": array_rig,
+    "halfball": halfball_rig,
+    "room": room_rig,
+}
+
+
 # ---------------------------------------------------------------------------
 # calibration detections (analytic)
 
@@ -387,6 +474,7 @@ def make_dataset(
     seed: int = 0,
     with_calibration: bool = True,
     calibration_mode: str = "analytic",
+    rig: str = "ball",
 ) -> None:
     """Generate a full blender-format scene + calibration data.
 
@@ -398,12 +486,14 @@ def make_dataset(
         through the GT cameras (exact, fast; no images written);
       'rendered' — real cube images rendered + the C++ tag36h11 detector
         builds the cache (the full production path).
+    rig: train-camera layout — 'ball' | 'array' | 'halfball' | 'room',
+      matching the reference's four dataset styles (SURVEY.md §2.1 #18).
     """
     rng = np.random.default_rng(seed)
     scene = default_scene(seed)
     os.makedirs(scene_dir, exist_ok=True)
 
-    c2w_train, fov_train = ball_rig(n_train, rng=rng)
+    c2w_train, fov_train = RIGS[rig](n_train, rng=rng)
     c2w_val, fov_val = orbit_rig(n_val, elevation_deg=35.0)
     c2w_test, fov_test = orbit_rig(n_test, elevation_deg=20.0)
 
