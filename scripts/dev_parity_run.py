@@ -66,6 +66,21 @@ def main():
         ),
         parallel=ParallelConfig(data_parallel=1),
     )
+    print(
+        "parity config:",
+        json.dumps({
+            "hw": hw, "n_train": n_train, "n_test": n_test,
+            "epochs": [cfg.stages.cam_param_epochs,
+                       cfg.stages.global_opt_epochs,
+                       cfg.stages.fine_tune_epochs],
+            "fine_mode": cfg.train.fine_mode,
+            "importance_samples": cfg.train.importance_samples,
+            "occ_grid": cfg.nerf.occ_grid_size,
+            "occ_coarse": cfg.nerf.occ_coarse_samples,
+            "use_pallas": cfg.train.use_pallas,
+        }),
+        flush=True,
+    )
     t0 = time.time()
     engine = Engine(cfg)
     engine.train(resume=True)
