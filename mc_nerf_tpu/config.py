@@ -65,6 +65,15 @@ class TrainConfig:
     rays_per_batch: int = 7000       # rays sampled per image per step (ref yaml `batch`)
     images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
     steps_per_image_epoch: int = 50  # ref expands the dataset 50x (data_read.py:286-297)
+    # Upper bound on steps per compiled epoch-scan *execution*.  Long epochs
+    # run as several back-to-back scan calls (host syncs between them cost
+    # ~40 ms each on the tunneled platform — negligible at this grain).
+    # The bound is a hard requirement, not a preference: the tunneled TPU
+    # worker enforces a ~60 s per-execution watchdog (measured: a plain XLA
+    # fori_loop of matmuls is killed at 60.0 s — "TPU worker process crashed
+    # or restarted"), so a full-scale 5500-step epoch as ONE program
+    # (~165 s) dies every time.  500 steps ~ 15 s at measured throughput.
+    max_steps_per_program: int = 500
     seed: int = 42
     # "importance" (default): stratified inverse-CDF fine sampling — measured
     # +3.6 dB demo PSNR over the reference's threshold/top-k "grid" scheme at

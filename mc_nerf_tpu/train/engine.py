@@ -209,16 +209,54 @@ class Engine:
         calib = load_calibration(self.cfg.scene_dir, self.cfg.apriltag_size)
         return TrainData(images_u8=jnp.asarray(imgs), calib=calib)
 
-    def _epoch_fn(self, stage: int):
-        if stage not in self._epoch_fns:
-            self._epoch_fns[stage] = make_stage_epoch(
+    def _epoch_chunks(self) -> list:
+        """Split ``steps_per_epoch`` into scan-call sizes, each at most
+        ``train.max_steps_per_program`` (see the config comment: one epoch
+        must not be one unbounded device-side program).  Prefers a single
+        repeated size (one compile); falls back to two sizes when the epoch
+        length has no usable divisor."""
+        s = self.steps_per_epoch
+        cap = self.cfg.train.max_steps_per_program
+        if cap <= 0 or s <= cap:
+            return [s]
+        best = max((d for d in range(1, cap + 1) if s % d == 0))
+        if best >= cap // 4:
+            return [best] * (s // best)
+        n = -(-s // cap)
+        base, rem = divmod(s, n)
+        return [base + 1] * rem + [base] * (n - rem)
+
+    def _epoch_fn(self, stage: int, n_steps: int):
+        key = (stage, n_steps)
+        if key not in self._epoch_fns:
+            self._epoch_fns[key] = make_stage_epoch(
                 self.cfg, stage, self.txs[stage], self.img_h, self.img_w,
                 total_steps=self.total_steps,
-                steps_per_epoch=self.steps_per_epoch,
+                steps_per_epoch=n_steps,
                 images_per_batch=self.images_per_batch,
                 mesh=self.mesh,
             )
-        return self._epoch_fns[stage]
+        return self._epoch_fns[key]
+
+    def _run_epoch(self, stage: int, data: TrainData, epoch_key: jax.Array):
+        """One training epoch as a sequence of bounded scan executions."""
+        chunks = self._epoch_chunks()
+        sums = None
+        for i, n_steps in enumerate(chunks):
+            chunk_key = jax.random.fold_in(epoch_key, i)
+            self.state, metrics = self._epoch_fn(stage, n_steps)(
+                self.state, data, chunk_key
+            )
+            if len(chunks) > 1:
+                # block per chunk: keeps each device program's wall time at
+                # the chunk grain and surfaces faults at the right chunk
+                metrics = {k: float(v) * n_steps for k, v in metrics.items()}
+                sums = metrics if sums is None else {
+                    k: sums[k] + v for k, v in metrics.items()
+                }
+        if sums is not None:
+            return {k: v / self.steps_per_epoch for k, v in sums.items()}
+        return {k: float(v) for k, v in metrics.items()}
 
     def _render_fn(self, img_h: int, img_w: int):
         key = (img_h, img_w)
@@ -265,13 +303,9 @@ class Engine:
             if profile_dir and stage not in profiled_stages:
                 profiled_stages.add(stage)
                 with jax.profiler.trace(os.path.join(profile_dir, f"stage{stage}")):
-                    self.state, metrics = self._epoch_fn(stage)(
-                        self.state, data, epoch_key
-                    )
-                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics = self._run_epoch(stage, data, epoch_key)
             else:
-                self.state, metrics = self._epoch_fn(stage)(self.state, data, epoch_key)
-                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics = self._run_epoch(stage, data, epoch_key)
             dt = time.time() - t0
             rays = (
                 self.steps_per_epoch * self.images_per_batch * cfg.train.rays_per_batch

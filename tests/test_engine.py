@@ -101,6 +101,41 @@ def test_engine_builds_calibration_cache_from_rendered_scene(tmp_path):
     assert int(state.step) == engine.steps_per_epoch
 
 
+def test_epoch_chunks_math():
+    """Epoch splitting honors max_steps_per_program (the tunneled worker's
+    ~60 s execution watchdog makes unbounded epoch programs fatal)."""
+    chunk = Engine._epoch_chunks
+
+    class Fake:
+        pass
+
+    def mk(s, cap):
+        f = Fake()
+        f.steps_per_epoch = s
+        f.cfg = Config(train=TrainConfig(max_steps_per_program=cap))
+        return chunk(f)
+
+    assert mk(30, 500) == [30]                 # short epoch: one program
+    assert mk(5500, 500) == [500] * 11         # reference Ball scale
+    assert mk(800, 500) == [400, 400]          # largest divisor wins
+    assert mk(5500, 0) == [5500]               # 0 disables the bound
+    sizes = mk(5501, 500)                      # prime: two-size fallback
+    assert sum(sizes) == 5501 and max(sizes) <= 500 and len(set(sizes)) <= 2
+
+
+def test_engine_chunked_epochs(scene_dir, tmp_path):
+    """Training with a small max_steps_per_program (multiple scan calls per
+    epoch) steps the same total count as a single-program epoch."""
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    import dataclasses
+
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_steps_per_program=3))
+    engine = Engine(cfg)
+    assert engine._epoch_chunks() == [2] * 5   # steps_per_epoch = 10
+    state = engine.train()
+    assert int(state.step) == engine.steps_per_epoch * 3
+
+
 def test_engine_resume(scene_dir, tmp_path):
     cfg = small_cfg(scene_dir, str(tmp_path))
     engine = Engine(cfg)
