@@ -50,7 +50,10 @@ def main() -> None:
     from mc_nerf_tpu.train.optim import Params, build_optimizers
     from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_epoch
 
+    from mc_nerf_tpu.utils.prng import configure_fast_prng
+
     cfg = Config()  # reference scale throughout
+    configure_fast_prng(cfg.train.prng_impl)
     img_h = img_w = 800
     n_images = 110  # Ball rig camera count
     rays = cfg.train.rays_per_batch

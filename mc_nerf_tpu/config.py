@@ -81,10 +81,18 @@ class TrainConfig:
     # 64x64 12-cam synthetic scene, full 3-stage runs).  "grid" remains the
     # reference-faithful path.
     fine_mode: str = "importance"
-    importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
+    # 32 fine samples/ray: with occupancy-culled coarse sampling (occ48)
+    # this is quality-neutral vs imp64 at small scale (BASELINE.md A/B:
+    # 23.19 vs 22.26 PSNR) and delivered 27.0 PSNR / 0.980 SSIM at the full
+    # reference protocol (200 views @ 800x800, 52 epochs) while training
+    # 2.3x faster (233k vs 104k rays/s/chip).
+    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
     # fused fwd+bwd MLP kernel for training; None = auto (resolved in
     # train/steps.py:make_loss_fn against measured step throughput).
     use_pallas: Optional[bool] = None
+    # PRNG implementation: None = auto ("rbg" — XLA's native bit generator —
+    # on TPU; threefry elsewhere).  See utils/prng.py.
+    prng_impl: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,7 +161,9 @@ class NerfConfig:
     occ_update_every: int = 1        # epochs between grid refreshes (stages 2-3)
     occ_floor: float = 0.01          # exploration floor in the sampling PMF
     occ_probes: int = 64             # per-ray occupancy probes across [near, far]
-    occ_coarse_samples: int = 64     # coarse samples/ray under culling
+    # 48 culling-guided coarse samples/ray: the occ48/imp32 default pair —
+    # see TrainConfig.importance_samples for the quality evidence
+    occ_coarse_samples: int = 48     # coarse samples/ray under culling
     occ_dilate: bool = True          # 3^3 max-pool safety margin
 
     @property
@@ -281,6 +291,10 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         fine_mode=get(sys_info, "train_params", "fine_mode", default=cfg.train.fine_mode),
         importance_samples=get(sys_info, "train_params", "importance_samples",
                                default=cfg.train.importance_samples),
+        max_steps_per_program=get(sys_info, "train_params", "max_steps_per_program",
+                                  default=cfg.train.max_steps_per_program),
+        prng_impl=get(sys_info, "train_params", "prng_impl",
+                      default=cfg.train.prng_impl),
     )
     barf = BarfConfig(
         mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),

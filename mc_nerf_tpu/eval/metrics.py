@@ -48,6 +48,10 @@ def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        # full fp32: the TPU default (bf16 MXU passes) breaks the
+        # blur(x^2) - mu^2 cancellation on near-constant images — variance
+        # noise ~1e-2 vs C2 = 9e-4 produced SSIM "scores" > 1
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -112,6 +112,9 @@ class Engine:
         )
         self.total_steps = self.steps_per_epoch * cfg.stages.total_epochs
 
+        from mc_nerf_tpu.utils.prng import configure_fast_prng
+
+        configure_fast_prng(cfg.train.prng_impl)
         key = jax.random.PRNGKey(cfg.train.seed)
         self.init_key, self.train_key = jax.random.split(key)
         params = Params(

@@ -50,12 +50,12 @@ def main():
         train=TrainConfig(
             rays_per_batch=7000, steps_per_image_epoch=50,
             fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "importance"),
-            importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "64")),
+            importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "32")),
             use_pallas=(os.environ.get("MC_NERF_TRAIN_PALLAS") == "1") or None,
         ),
         nerf=NerfConfig(
             occ_grid_size=int(os.environ.get("MC_NERF_OCC_GRID", "64")),
-            occ_coarse_samples=int(os.environ.get("MC_NERF_OCC_COARSE", "64")),
+            occ_coarse_samples=int(os.environ.get("MC_NERF_OCC_COARSE", "48")),
         ),
         eval=EvalConfig(res_h=hw, res_w=hw),
         paths=PathsConfig(

@@ -22,6 +22,9 @@ from mc_nerf_tpu.train.steps import TrainData, TrainState, make_stage_epoch
 
 
 def setup(cfg):
+    from mc_nerf_tpu.utils.prng import configure_fast_prng
+
+    configure_fast_prng(cfg.train.prng_impl)  # production auto = rbg on TPU
     img_h = img_w = 800
     n_images = 110
     rng = np.random.default_rng(0)
@@ -89,6 +92,14 @@ def main():
                                dict(occ_coarse_samples=48)),
         "occ48/imp32+pallas": (dict(fine_mode="importance", importance_samples=32, use_pallas=True),
                                dict(occ_coarse_samples=48)),
+        "occ48/imp32+xla+threefry": (
+            dict(fine_mode="importance", importance_samples=32, use_pallas=False,
+                 prng_impl="threefry2x32"),
+            dict(occ_coarse_samples=48)),
+        "occ32/imp16+xla":    (dict(fine_mode="importance", importance_samples=16, use_pallas=False),
+                               dict(occ_coarse_samples=32)),
+        "occ32/imp24+xla":    (dict(fine_mode="importance", importance_samples=24, use_pallas=False),
+                               dict(occ_coarse_samples=32)),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:

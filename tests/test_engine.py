@@ -136,6 +136,27 @@ def test_engine_chunked_epochs(scene_dir, tmp_path):
     assert int(state.step) == engine.steps_per_epoch * 3
 
 
+def test_engine_trains_with_rbg_prng(scene_dir, tmp_path):
+    """The fast-PRNG path (XLA RngBitGenerator; the TPU auto default) trains
+    end-to-end — same code, different random streams (utils/prng.py)."""
+    import dataclasses
+
+    import jax
+
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, prng_impl="rbg"),
+        stages=StageConfig(cam_param_epochs=1, global_opt_epochs=1, fine_tune_epochs=0),
+    )
+    try:
+        engine = Engine(cfg)
+        state = engine.train()
+        assert int(state.step) == engine.steps_per_epoch * 2
+        assert np.isfinite(float(jnp.sum(state.params.nerf.fine.trunk_w[0])))
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
 def test_engine_resume(scene_dir, tmp_path):
     cfg = small_cfg(scene_dir, str(tmp_path))
     engine = Engine(cfg)
