@@ -193,7 +193,10 @@ class EvalConfig:
     demo_ckpt: str = ""
     rays_per_chunk: int = 16384      # rays per jitted render chunk
     fine_mode: str = "importance"    # "importance" (TPU-fast) | "grid" (ref-faithful)
-    importance_samples: int = 64     # fine samples/ray for fine_mode="importance"
+    # eval fine samples: 32 matches the train-time sample density and
+    # measured BEST on the full-protocol checkpoint (PSNR 28.01/1.65 s vs
+    # 27.94/6.9 s at 64 incl. scoring overhead; scripts/dev_eval_ab.py)
+    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
     use_pallas: Optional[bool] = None  # fused MLP kernel; None = auto (TPU only)
 
 

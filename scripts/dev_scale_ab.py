@@ -49,7 +49,9 @@ def make_cfg(src_run: str, out: str, fine_mode: str) -> Config:
         eval=EvalConfig(
             res_h=800, res_w=800,
             fine_mode=fine_mode,
-            importance_samples=64,
+            # eval at the train-time sample density (measured best:
+            # scripts/dev_eval_ab.py on the parity checkpoint)
+            importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "32")),
         ),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),
