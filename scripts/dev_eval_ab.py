@@ -53,12 +53,14 @@ def main():
 
     chunk = int(os.environ.get("MC_NERF_EVAL_CHUNK", "0"))
     results = {}
+    scene = None  # load the ~0.5 GB of PNGs once, reuse across candidates
     for imp in candidates:
         ev = dataclasses.replace(cfg.eval, importance_samples=imp)
         if chunk:
             ev = dataclasses.replace(ev, rays_per_chunk=chunk)
         c = cfg.replace(eval=ev)
-        engine = Engine(c)
+        engine = Engine(c, scene=scene)
+        scene = engine.scene
         from mc_nerf_tpu.train import checkpoint as ckpt_lib
 
         engine.state, epoch = ckpt_lib.restore_checkpoint(

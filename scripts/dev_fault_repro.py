@@ -36,8 +36,8 @@ def main():
     ap.add_argument("--skip", type=int, default=4)
     ap.add_argument("--nfreq", type=int, default=10)
     ap.add_argument("--sh-deg", type=int, default=2)
-    ap.add_argument("--fwd-only", action="store_true")
-    ap.add_argument("--bwd", action="store_true", help="fwd+bwd (default)")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="forward only (default is fwd+bwd)")
     ap.add_argument("--no-noise", action="store_true")
     ap.add_argument("--no-wsel", action="store_true")
     args = ap.parse_args()
@@ -85,32 +85,24 @@ def main():
           f"wsel={emit_wsel} mode={'fwd' if args.fwd_only else 'fwd+bwd'}",
           flush=True)
 
+    def call(packed, feat, basis16):
+        return fr.fused_render(
+            packed, feat, basis16, z, noise, noise_sel,
+            args.depth, skips, s, nb, with_noise, emit_wsel, True, False,
+        )
+
     t0 = time.time()
     if args.fwd_only:
-        out, _ = fused_render_call(
-            fr, packed, feat, basis16, z, noise, noise_sel, args, s, nb,
-            with_noise, emit_wsel,
-        )
+        out, _ = call(packed, feat, basis16)
         print("fwd ok:", float(out[:, :3].sum()), f"{time.time()-t0:.1f}s")
     else:
         def loss(packed, feat, basis16):
-            out, _ = fr.fused_render(
-                packed, feat, basis16, z, noise, noise_sel,
-                args.depth, skips, s, nb, with_noise, emit_wsel, True, False,
-            )
+            out, _ = call(packed, feat, basis16)
             return jnp.sum(out[:, :3] ** 2)
 
         g = jax.grad(loss, argnums=(0, 1, 2))(packed, feat, basis16)
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         print("bwd ok: |g| =", total, f"{time.time()-t0:.1f}s")
-
-
-def fused_render_call(fr, packed, feat, basis16, z, noise, noise_sel, args,
-                      s, nb, with_noise, emit_wsel):
-    return fr.fused_render(
-        packed, feat, basis16, z, noise, noise_sel,
-        args.depth, (args.skip,), s, nb, with_noise, emit_wsel, True, False,
-    )
 
 
 if __name__ == "__main__":
