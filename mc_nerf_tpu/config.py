@@ -81,17 +81,21 @@ class TrainConfig:
     # 64x64 12-cam synthetic scene, full 3-stage runs).  "grid" remains the
     # reference-faithful path.
     fine_mode: str = "importance"
-    # 32 fine samples/ray: with occupancy-culled coarse sampling (occ48)
-    # this is quality-neutral vs imp64 at small scale (BASELINE.md A/B:
-    # 23.19 vs 22.26 PSNR) and delivered 27.0 PSNR / 0.980 SSIM at the full
-    # reference protocol (200 views @ 800x800, 52 epochs) while training
-    # 2.3x faster (233k vs 104k rays/s/chip).
-    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
+    # 16 fine samples/ray: with occupancy-culled coarse sampling (occ32)
+    # this A/B'd BEST at the reference geometry — 30.56 PSNR / 0.984 SSIM
+    # vs 30.15 / 0.987 for occ48/imp32 (Ball 110 cams @ 800x800, 50-view
+    # demo, scripts/dev_scale_ab.py) — while training 1.75x faster
+    # (428k vs 244k rays/s/chip).  occ48/imp32 (27.0 PSNR at the full
+    # 52-epoch 200-view protocol) is the conservative setting for scenes
+    # with finer geometry than the A/B scene.
+    importance_samples: int = 16     # fine samples/ray for fine_mode="importance"
     # fused fwd+bwd MLP kernel for training; None = auto (resolved in
     # train/steps.py:make_loss_fn against measured step throughput).
     use_pallas: Optional[bool] = None
-    # PRNG implementation: None = auto ("rbg" — XLA's native bit generator —
-    # on TPU; threefry elsewhere).  See utils/prng.py.
+    # PRNG implementation: None = keep the process default (threefry).
+    # Explicit "rbg"/"unsafe_rbg" switches to XLA's native bit generator —
+    # measured a wash on v5e (BASELINE.md), kept as an experiment knob.
+    # See utils/prng.py.
     prng_impl: Optional[str] = None
 
 
@@ -161,9 +165,9 @@ class NerfConfig:
     occ_update_every: int = 1        # epochs between grid refreshes (stages 2-3)
     occ_floor: float = 0.01          # exploration floor in the sampling PMF
     occ_probes: int = 64             # per-ray occupancy probes across [near, far]
-    # 48 culling-guided coarse samples/ray: the occ48/imp32 default pair —
+    # 32 culling-guided coarse samples/ray: the occ32/imp16 default pair —
     # see TrainConfig.importance_samples for the quality evidence
-    occ_coarse_samples: int = 48     # coarse samples/ray under culling
+    occ_coarse_samples: int = 32     # coarse samples/ray under culling
     occ_dilate: bool = True          # 3^3 max-pool safety margin
 
     @property
@@ -193,10 +197,11 @@ class EvalConfig:
     demo_ckpt: str = ""
     rays_per_chunk: int = 16384      # rays per jitted render chunk
     fine_mode: str = "importance"    # "importance" (TPU-fast) | "grid" (ref-faithful)
-    # eval fine samples: 32 matches the train-time sample density and
-    # measured BEST on the full-protocol checkpoint (PSNR 28.01/1.65 s vs
-    # 27.94/6.9 s at 64 incl. scoring overhead; scripts/dev_eval_ab.py)
-    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
+    # eval fine samples: match the train-time sample density — measured
+    # best on full-protocol checkpoints (28.01 PSNR @ 32 vs 27.94 @ 64 on
+    # an imp32-trained model, scripts/dev_eval_ab.py; the occ32/imp16 A/B
+    # demo'd 30.56 PSNR evaluating at 16)
+    importance_samples: int = 16     # fine samples/ray for fine_mode="importance"
     use_pallas: Optional[bool] = None  # fused MLP kernel; None = auto (TPU only)
 
 

@@ -4,15 +4,15 @@ The default JAX PRNG (threefry2x32) computes random bits with a software
 block cipher — ~1.4M draws per training step (pixel sampling, z jitter,
 three sigma-noise tensors, inverse-CDF uniforms; ref semantics at
 ``model/mc_nerf.py:327-345, 599-601, 729-731``) all pay for it on the VPU.
-The ``rbg`` implementation lowers to XLA's native ``RngBitGenerator``,
-which the TPU backend serves with a hardware generator — same statistical
-contract (splittable keys, independent streams), different stream values.
+The ``rbg`` implementation lowers to XLA's native ``RngBitGenerator``.
 
-Training quality is stream-agnostic (parity with the torch reference is
-statistical anyway — SURVEY.md §7 "stochasticity semantics"), so training
-entry points opt in via :func:`configure_fast_prng` before creating keys.
-Auto mode only switches on TPU: tests and CPU runs keep the default
-threefry streams so golden values stay stable.
+Measured on a v5e at the reference workload: **a wash** — 243.6k (rbg) vs
+245.0k (threefry) rays/s, within run noise (BASELINE.md) — XLA already
+keeps the PRNG off the critical path.  The default is therefore to leave
+the process default untouched (constructing an Engine must not mutate
+global state); the knob exists for explicit experiments on other
+topologies.  Training quality is stream-agnostic either way (parity with
+the torch reference is statistical — SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -24,21 +24,25 @@ import jax
 
 
 def configure_fast_prng(impl: Optional[str] = None) -> str:
-    """Set the process-default PRNG implementation.
+    """Select the PRNG implementation for subsequently created keys.
 
     Args:
-      impl: ``None`` = auto (``rbg`` iff the default backend is TPU),
-        ``"threefry2x32"`` / ``"rbg"`` / ``"unsafe_rbg"`` = explicit.
+      impl: ``None`` (default) = no-op, keep the process default — Engine
+        construction stays free of global side effects;
+        ``"threefry2x32"`` / ``"rbg"`` / ``"unsafe_rbg"`` = set the
+        process-default implementation explicitly.
 
     Returns:
       the implementation now in effect.
 
-    Must run before the first ``jax.random.PRNGKey`` whose streams matter —
-    existing key arrays keep their own impl, so calling late only affects
-    keys created afterwards.
+    An explicit impl is process-global: run it before the first
+    ``jax.random.PRNGKey`` whose streams matter.  Existing key arrays keep
+    the impl they were created with, so engines constructed before the
+    switch are unaffected; the reproducibility hazard of mixing explicit
+    impls across engines in one process is on the caller.
     """
     if impl is None:
-        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        return jax.config.jax_default_prng_impl
     jax.config.update("jax_default_prng_impl", impl)
     logging.info("PRNG implementation: %s", impl)
     return impl
