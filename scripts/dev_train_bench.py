@@ -100,6 +100,8 @@ def main():
                                dict(occ_coarse_samples=32)),
         "occ32/imp24+xla":    (dict(fine_mode="importance", importance_samples=24, use_pallas=False),
                                dict(occ_coarse_samples=32)),
+        "occ24/imp12+xla":    (dict(fine_mode="importance", importance_samples=12, use_pallas=False),
+                               dict(occ_coarse_samples=24)),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:
