@@ -75,11 +75,12 @@ class TrainConfig:
     # (~165 s) dies every time.  500 steps ~ 15 s at measured throughput.
     max_steps_per_program: int = 500
     seed: int = 42
-    # "importance" (default): stratified inverse-CDF fine sampling — measured
-    # +3.6 dB demo PSNR over the reference's threshold/top-k "grid" scheme at
-    # equal-or-lower cost (A/B: 24.60/0.957 vs 21.00/0.849 PSNR/SSIM on the
-    # 64x64 12-cam synthetic scene, full 3-stage runs).  "grid" remains the
-    # reference-faithful path.
+    # "importance" (default): stratified inverse-CDF fine sampling.  At
+    # reference scale it scores within ~1 dB of the reference-faithful
+    # threshold/top-k "grid" scheme at ~1/8 of the sample budget and ~1/5
+    # of the wall-clock (BASELINE.md scale A/B — an earlier small-scale
+    # "+3.6 dB" reading did NOT hold at scale).  "grid" remains the
+    # reference-faithful max-quality path.
     fine_mode: str = "importance"
     # 16 fine samples/ray: with occupancy-culled coarse sampling (occ32)
     # this A/B'd BEST at the reference geometry — 30.56 PSNR / 0.984 SSIM
@@ -89,8 +90,11 @@ class TrainConfig:
     # 52-epoch 200-view protocol) is the conservative setting for scenes
     # with finer geometry than the A/B scene.
     importance_samples: int = 16     # fine samples/ray for fine_mode="importance"
-    # fused fwd+bwd MLP kernel for training; None = auto (resolved in
-    # train/steps.py:make_loss_fn against measured step throughput).
+    # fused fwd+bwd MLP kernel for training; None resolves in
+    # train/steps.py:make_loss_fn to the measured train-time winner —
+    # currently False (XLA; the fused kernels reached parity, not victory,
+    # on the glue-bound train step — BASELINE.md).  Eval resolves its own
+    # flag in train/steps.py:make_render_fn (kernels win there).
     use_pallas: Optional[bool] = None
     # PRNG implementation: None = keep the process default (threefry).
     # Explicit "rbg"/"unsafe_rbg" switches to XLA's native bit generator —

@@ -117,15 +117,21 @@ def convert_torch_lpips(state_dict, out_path: str) -> None:
     Expects keys like ``net.slice1.0.weight`` (torchvision AlexNet layout,
     [cout, cin, kh, kw]) and ``lin{i}.model.1.weight`` ([1, c, 1, 1]).
     """
+    import re
+
     import numpy as _np
 
     def t2np(v):
         return v.detach().cpu().numpy() if hasattr(v, "detach") else _np.asarray(v)
 
-    slices = {1: [0], 2: [3], 3: [6], 4: [8], 5: [10]}  # conv idx in features
+    def natkey(k):
+        # numeric sort so slice10 orders after slice9 (sorted() alone would
+        # interleave them lexicographically)
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", k)]
+
     out = {}
     conv_i = 0
-    for k in sorted(state_dict):
+    for k in sorted(state_dict, key=natkey):
         if k.endswith(".weight") and "slice" in k:
             w = t2np(state_dict[k])
             if w.ndim == 4:
@@ -139,4 +145,3 @@ def convert_torch_lpips(state_dict, out_path: str) -> None:
     out["shift"] = _np.array([-0.030, -0.088, -0.188], dtype=_np.float32)
     out["scale"] = _np.array([0.458, 0.448, 0.450], dtype=_np.float32)
     _np.savez(out_path, **out)
-    _ = slices

@@ -165,7 +165,11 @@ def render_rays_train(
             raise ValueError("occupancy culling requires fine_mode='importance'")
         sc = cfg.occ_coarse_samples
         z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
-        z_c = sample_pdf(z_probe, pmf, sc, key=kj)                  # [R, Sc]
+        # probe ladder carries phantom end bins (occupancy_pmf doc); clip
+        # the drawn depths back into the render range
+        z_c = jnp.clip(
+            sample_pdf(z_probe, pmf, sc, key=kj), cfg.near, cfg.far
+        )                                                           # [R, Sc]
         jitter = None  # grid fine mode is unreachable below
     else:
         z_c = jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)
@@ -364,7 +368,8 @@ def render_rays_eval(
             raise ValueError("occupancy culling requires fine_mode='importance'")
         sc = cfg.occ_coarse_samples
         z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
-        z_c = sample_pdf(z_probe, pmf, sc)       # deterministic midpoint strata
+        # deterministic midpoint strata; clip the phantom-end-bin overhang
+        z_c = jnp.clip(sample_pdf(z_probe, pmf, sc), cfg.near, cfg.far)
     else:
         z_c = jnp.broadcast_to(
             jnp.linspace(cfg.near, cfg.far, sc, dtype=jnp.float32)[None, :],

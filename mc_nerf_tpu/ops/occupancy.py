@@ -131,7 +131,11 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
       [G*G, G] float32 in {0, 1}; row = ix * G + iy, lane = iz.
     """
     g = grid.density.shape[0]
-    step_c = (cfg.far - cfg.near) / cfg.samples_coarse
+    # step = the spacing the culled coarse pass actually takes
+    # (occ_coarse_samples per ray, not the uncull samples_coarse): the
+    # threshold then means "one real coarse-step's worth of alpha", and is
+    # ~4x more conservative than thresholding at the uncull spacing
+    step_c = (cfg.far - cfg.near) / cfg.occ_coarse_samples
     occ = (grid.density * step_c > cfg.occ_thresh).astype(jnp.float32)
     if cfg.occ_dilate:
         occ = jax.lax.reduce_window(
@@ -183,17 +187,28 @@ def occupancy_pmf(
     floors the result so culled space keeps ``occ_floor`` of each probe's
     mass (exploration + robustness to grid staleness).
 
+    The returned ladder carries one phantom probe beyond each end
+    (``occ_probes + 2`` entries): :func:`mc_nerf_tpu.ops.volume.sample_pdf`
+    drops the first and last weight by construction, so without the padding
+    occupancy in the first/last real probe bin could never influence the
+    PMF — geometry hugging the near or far plane would be sampled only via
+    the ``occ_floor`` fallback.  Phantom depths extend one spacing outside
+    [near, far]; callers clip the sampled depths back to [near, far].
+
     Args:
       occ2d: [G*G, G] binary map.
       rays_o, rays_d: [R, 3] ray origins/directions.
       cfg: NeRF config (near/far/AABB/probe count).
 
     Returns:
-      (z_probe [R, P] probe depths, pmf [R, P] unnormalized weights).
+      (z_probe [R, P+2] probe depths, pmf [R, P+2] unnormalized weights —
+       the two phantom end weights are zero and are dropped by sample_pdf).
     """
     p = cfg.occ_probes
-    z = jnp.linspace(cfg.near, cfg.far, p, dtype=jnp.float32)
-    z = jnp.broadcast_to(z[None, :], (rays_o.shape[0], p))
-    x = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    h = (cfg.far - cfg.near) / (p - 1)
+    z = jnp.linspace(cfg.near - h, cfg.far + h, p + 2, dtype=jnp.float32)
+    z = jnp.broadcast_to(z[None, :], (rays_o.shape[0], p + 2))
+    x = rays_o[:, None, :] + rays_d[:, None, :] * z[..., 1:-1, None]
     occ = probe_occupancy(occ2d, cfg.bound_min, cfg.bound_max, x)
-    return z, occ + cfg.occ_floor
+    pmf = jnp.pad(occ + cfg.occ_floor, ((0, 0), (1, 1)))
+    return z, pmf

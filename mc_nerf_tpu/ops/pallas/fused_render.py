@@ -56,7 +56,6 @@ from mc_nerf_tpu.ops.pallas.fused_mlp import (
     PackedMLP,
     _pad_rays,
     _shade_tables,
-    _shaded_block,
 )
 
 
@@ -69,8 +68,12 @@ def _block_rays(rays: int, s: int) -> int:
     """Rays per grid block: prefer a multiple of 8 that divides ``rays`` —
     then the host-side jnp.pad copies (0.5 ms each on full-size feat at
     train scale) vanish entirely — keeping block <= 2048 points so the
-    [block, block] segment matrix stays <= 16 MB VMEM.  Fall back to the
-    shaded kernel's default (padded) block when rays has no such divisor."""
+    [block, block] segment matrix stays <= 16 MB VMEM.  When rays has no
+    such divisor, fall back to block_r=16 and pad the ray axis (the call
+    sites already pad to a block_r multiple).  block_r=8 is quarantined:
+    it miscompiled on the v5e (TPU worker kernel fault), so it must never
+    be selected — for s > 512 (where 16 rays/block would blow the VMEM
+    budget) the fused path refuses instead of risking the faulting size."""
     cap = max(8, 2048 // s)
     best = 0
     r = 16  # block_r=8 miscompiled on the v5e (TPU worker kernel fault)
@@ -78,7 +81,15 @@ def _block_rays(rays: int, s: int) -> int:
         if rays % r == 0:
             best = r
         r += 8
-    return best or (_shaded_block(s) // s)
+    if best:
+        return best
+    if s > 512:
+        raise ValueError(
+            f"fused_render: no safe ray-block for s={s} (block_r=16 exceeds "
+            f"the VMEM budget and block_r=8 is quarantined); use the shaded "
+            f"kernel + XLA composite path instead"
+        )
+    return 16
 
 
 def _seg_tables(block_r: int, s: int):

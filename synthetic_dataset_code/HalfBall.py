@@ -34,6 +34,18 @@ def rig(rng):
                 )
             )
     positions.append((0.0, 0.0, RADIUS))
+    # top up to the reference's 100 cameras (its layout is fully random,
+    # ref HalfBall.py:166-178) with random high-elevation draws
+    while len(positions) < 100:
+        phi = math.radians(rng.uniform(70.0, 85.0))
+        theta = math.radians(rng.uniform(0.0, 360.0))
+        positions.append(
+            (
+                RADIUS * math.cos(phi) * math.cos(theta),
+                RADIUS * math.cos(phi) * math.sin(theta),
+                RADIUS * math.sin(phi),
+            )
+        )
     positions = positions[:100]
     train = common.make_cams("train", positions, rng)
     val = common.make_cams(

@@ -23,8 +23,9 @@ N_VAL = 10
 def rig(rng):
     hx, hy, hz = ROOM_X / 2, ROOM_Y / 2, ROOM_Z / 2
     positions = []
-    # long walls (y = +-hy): 5 x 4 grids
-    for x in np.linspace(-hx * 0.8, hx * 0.8, 5):
+    # 2x24 + 2x12 + 16 = the reference's 88 cameras (ref Room.py:18-29)
+    # long walls (y = +-hy): 6 x 4 grids
+    for x in np.linspace(-hx * 0.8, hx * 0.8, 6):
         for z in np.linspace(-hz * 0.6, hz * 0.8, 4):
             positions.append((float(x), -hy, float(z)))
             positions.append((float(x), hy, float(z)))
@@ -33,9 +34,9 @@ def rig(rng):
         for z in np.linspace(-hz * 0.5, hz * 0.8, 3):
             positions.append((-hx, float(y), float(z)))
             positions.append((hx, float(y), float(z)))
-    # ceiling: 2 x 2
-    for x in np.linspace(-hx * 0.5, hx * 0.5, 2):
-        for y in np.linspace(-hy * 0.5, hy * 0.5, 2):
+    # ceiling: 4 x 4
+    for x in np.linspace(-hx * 0.6, hx * 0.6, 4):
+        for y in np.linspace(-hy * 0.6, hy * 0.6, 4):
             positions.append((float(x), float(y), hz))
     positions = positions[:88]
     train = common.make_cams("train", positions, rng)

@@ -85,6 +85,30 @@ def test_lpips_jax_matches_torch_reference(rng, tmp_path):
     assert abs(same) < 1e-8
 
 
+def test_make_lpips_weights_cli(tmp_path, rng):
+    """The one-command conversion CLI (scripts/make_lpips_weights.py):
+    torch state dict on disk -> loadable .npz at the requested path."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    sd = _random_state_dict(rng)
+    pt = str(tmp_path / "lpips_alex.pt")
+    torch.save(sd, pt)
+    out = str(tmp_path / "w" / "lpips_alex.npz")
+    script = _os.path.join(
+        _os.path.dirname(__file__), "..", "scripts", "make_lpips_weights.py"
+    )
+    r = subprocess.run(
+        [_sys.executable, script, pt, "-o", out],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    model = lpips_jax.load(out)
+    img = rng.uniform(0, 1, size=(32, 32, 3)).astype(np.float32)
+    assert float(lpips_jax.lpips_distance(model, img, 1.0 - img)) > 0
+
+
 def test_lpips_metric_uses_cached_model(tmp_path, rng, monkeypatch):
     """metrics.lpips loads the weights once per path (ref reloads per image)."""
     from mc_nerf_tpu.eval import metrics

@@ -84,9 +84,14 @@ def test_pmf_floor_and_shape():
     rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
     rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
     z, pmf = occupancy_pmf(occ2d, rays_o, rays_d, CFG)
-    assert z.shape == (1, CFG.occ_probes) and pmf.shape == (1, CFG.occ_probes)
+    # +2: phantom end probes so sample_pdf's dropped first/last weights are
+    # the phantoms, never real occupancy (ops/occupancy.py doc)
+    p = CFG.occ_probes + 2
+    assert z.shape == (1, p) and pmf.shape == (1, p)
+    assert z[0, 0] < CFG.near and z[0, -1] > CFG.far
+    np.testing.assert_array_equal(np.asarray(pmf[:, (0, -1)]), 0.0)
     # empty scene: pure floor -> uniform PMF -> sampling degrades to uniform
-    np.testing.assert_allclose(np.asarray(pmf), CFG.occ_floor, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pmf[:, 1:-1]), CFG.occ_floor, rtol=1e-6)
 
 
 def test_all_occupied_pmf_sampling_is_uniform():
