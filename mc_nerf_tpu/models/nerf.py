@@ -185,14 +185,10 @@ def render_rays_train(
     )
     basis = sh_basis(cfg.sh_deg, rays_d)                            # [R, B]
 
-    # Known Mosaic fault: fused_render's TRAIN backward at exactly 64
-    # samples/ray wedges the v5e worker (hangs >10 min, worker restarts;
-    # scripts/dev_fault_repro.py) at every tried ray-block size, while
-    # s=48/32, the fwd-only eval geometry, and the shaded-kernel path at
-    # s=64 (round-1 training, 87k rays/s) all run clean.  Route s=64
-    # training through the shaded kernel + XLA composite instead.
-    s64 = sc == 64 or importance_samples == 64
-    if use_pallas and fine_mode == "importance" and not s64:
+    # (the historical s=64 Mosaic fault is handled inside fused_render:
+    # quarantined sample counts run padded with zero-delta phantom samples
+    # — ops/pallas/fused_render._QUARANTINED_S — so no routing guard here)
+    if use_pallas and fine_mode == "importance":
         # fully-fused path: MLP + SH shading + composite in one pallas call
         # per pass (ops/pallas/fused_render.py) — the per-sample [P, 8]
         # tensor never exists in HBM and XLA's composite chain disappears.

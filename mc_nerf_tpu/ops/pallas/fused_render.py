@@ -92,6 +92,37 @@ def _block_rays(rays: int, s: int) -> int:
     return 16
 
 
+# Sample counts whose composite-backward codegen faults on the v5e
+# (kernel fault -> TPU worker restart), mapped to the padded count that
+# compiles cleanly.  The pad is EXACT: phantom samples ride with delta=0
+# (alpha=0, weight=0, zero cotangents — verified against the XLA composite
+# in tests/test_fused_render.py), so s=64 runs the fused path at s=72
+# instead of detouring to a different algorithm.  Repro/bisect harness:
+# scripts/dev_fault_repro.py; s=48/32 and fwd-only s=64 were always clean.
+_QUARANTINED_S = {64: 72}
+
+
+def _safe_s(s: int) -> int:
+    return _QUARANTINED_S.get(s, s)
+
+
+def _pad_sample_axis(x_flat: jnp.ndarray, rays: int, s: int, s_k: int,
+                     edge: bool = False) -> jnp.ndarray:
+    """[rays*s, C] -> [rays*s_k, C], padding each ray's tail with zeros
+    (or its last row when ``edge``, for depth columns that must stay
+    finite/sorted)."""
+    if s_k == s:
+        return x_flat
+    x = x_flat.reshape(rays, s, x_flat.shape[-1])
+    if edge:
+        x = jnp.concatenate(
+            [x, jnp.repeat(x[:, -1:], s_k - s, axis=1)], axis=1
+        )
+    else:
+        x = jnp.pad(x, ((0, 0), (0, s_k - s), (0, 0)))
+    return x.reshape(rays * s_k, x.shape[-1])
+
+
 def _seg_tables(block_r: int, s: int):
     """(seg_lt [block, block], r_mat [block_r, block]) — see module doc."""
     block = block_r * s
@@ -404,13 +435,26 @@ def _render_fwd_call(packed, feat, basis16, z, noise, noise_sel, depth, skips,
     rays = basis16.shape[0]
     p = rays * s
     assert feat.shape[0] == p, (feat.shape, rays, s)
+    # quarantined sample counts run padded (exact: phantom delta=0 samples)
+    s_in = s
+    s = _safe_s(s)
+    # deltas come from the UNPADDED depths (last delta stays 1e10); phantom
+    # samples get delta=0 -> zero alpha/weight/cotangents
+    deltas = _pad_sample_axis(_deltas_flat(z), rays, s_in, s)
+    feat = _pad_sample_axis(feat, rays, s_in, s)
+    zf = _pad_sample_axis(z.reshape(p, 1), rays, s_in, s, edge=True)
+    if noise is not None:
+        noise = _pad_sample_axis(noise.reshape(p, 1), rays, s_in, s)
+    if noise_sel is not None:
+        noise_sel = _pad_sample_axis(noise_sel.reshape(p, 1), rays, s_in, s)
+    p = rays * s
     block_r = _block_rays(rays, s)
     block = block_r * s
     rays_pad = -(-rays // block_r) * block_r
     feat = _pad_rays(feat, rays_pad, rays, s)
     basis16 = _pad_rays(basis16, rays_pad, rays, 1)
-    zf = _pad_rays(z.reshape(p, 1), rays_pad, rays, s)
-    df = _pad_rays(_deltas_flat(z), rays_pad, rays, s)
+    zf = _pad_rays(zf, rays_pad, rays, s)
+    df = _pad_rays(deltas, rays_pad, rays, s)
     padded = rays_pad * s
 
     tile, group, mask, seg, rmat = _tables(nb, block_r, s)
@@ -430,10 +474,10 @@ def _render_fwd_call(packed, feat, basis16, z, noise, noise_sel, depth, skips,
     inputs = [feat, basis16, zf, df]
     if with_noise:
         in_specs.append(pt_spec(1))
-        inputs.append(_pad_rays(noise.reshape(p, 1), rays_pad, rays, s))
+        inputs.append(_pad_rays(noise, rays_pad, rays, s))
         if emit_wsel:
             in_specs.append(pt_spec(1))
-            inputs.append(_pad_rays(noise_sel.reshape(p, 1), rays_pad, rays, s))
+            inputs.append(_pad_rays(noise_sel, rays_pad, rays, s))
     in_specs += [const_spec(t) for t in (tile, group, mask, seg, rmat)]
     inputs += [tile, group, mask, seg, rmat]
     in_specs += [const_spec(w) for w in weights_flat]
@@ -459,7 +503,8 @@ def _render_fwd_call(packed, feat, basis16, z, noise, noise_sel, depth, skips,
     )(*inputs)
     ray_out = outs[0][:rays]
     if emit_wsel:
-        return ray_out, outs[1][:p].reshape(rays, s)
+        wsel = outs[1][:p].reshape(rays, s)[:, :s_in]
+        return ray_out, wsel
     return ray_out, None
 
 
@@ -472,13 +517,22 @@ def _render_bwd_call(packed, feat, basis16, z, noise, dray, depth, skips, s,
                      nb, with_noise, white_back, interpret):
     rays = basis16.shape[0]
     p = rays * s
+    # mirror the forward's quarantine padding (see _render_fwd_call)
+    s_in = s
+    s = _safe_s(s)
+    deltas = _pad_sample_axis(_deltas_flat(z), rays, s_in, s)
+    feat = _pad_sample_axis(feat, rays, s_in, s)
+    zf = _pad_sample_axis(z.reshape(p, 1), rays, s_in, s, edge=True)
+    if noise is not None:
+        noise = _pad_sample_axis(noise.reshape(p, 1), rays, s_in, s)
+    p = rays * s
     block_r = _block_rays(rays, s)
     block = block_r * s
     rays_pad = -(-rays // block_r) * block_r
     feat = _pad_rays(feat, rays_pad, rays, s)
     basis16 = _pad_rays(basis16, rays_pad, rays, 1)
-    zf = _pad_rays(z.reshape(p, 1), rays_pad, rays, s)
-    df = _pad_rays(_deltas_flat(z), rays_pad, rays, s)
+    zf = _pad_rays(zf, rays_pad, rays, s)
+    df = _pad_rays(deltas, rays_pad, rays, s)
     dray = _pad_rays(dray, rays_pad, rays, 1)
     padded = rays_pad * s
 
@@ -500,7 +554,7 @@ def _render_bwd_call(packed, feat, basis16, z, noise, dray, depth, skips, s,
     inputs = [feat, basis16, zf, df]
     if with_noise:
         in_specs.append(pt_spec(1))
-        inputs.append(_pad_rays(noise.reshape(p, 1), rays_pad, rays, s))
+        inputs.append(_pad_rays(noise, rays_pad, rays, s))
     in_specs += [ray_spec(8)]
     inputs += [dray]
     in_specs += [const_spec(t) for t in (tile, group, mask, seg, rmat)]
@@ -532,6 +586,9 @@ def _render_bwd_call(packed, feat, basis16, z, noise, dray, depth, skips, s,
     )(*inputs)
 
     dfeat = outs[0][:p]
+    if s != s_in:
+        # drop the phantom samples' (zero) feature cotangents
+        dfeat = dfeat.reshape(rays, s, -1)[:, :s_in].reshape(rays * s_in, -1)
     dbasis = outs[1][:rays]
     dws = outs[2:]
     n_trunk = len(packed.trunk_w)

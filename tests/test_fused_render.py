@@ -26,7 +26,7 @@ S = 16
 RAYS = 40  # not a multiple of the ray block: exercises padding
 
 
-def _setup(seed=0):
+def _setup(seed=0, s=S):
     key = jax.random.PRNGKey(seed)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     mlp = init_nerf_mlp(k1, 3 * (2 * NFREQ + 1), DEPTH, WIDTH, SKIPS, 3 * NB)
@@ -34,13 +34,13 @@ def _setup(seed=0):
     rays_d = jax.random.normal(k2, (RAYS, 3))
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = jnp.asarray([[0.0, 0.0, -3.0]]) * jnp.ones((RAYS, 1))
-    z = jnp.sort(jax.random.uniform(k3, (RAYS, S), jnp.float32, 1.0, 8.0), axis=-1)
+    z = jnp.sort(jax.random.uniform(k3, (RAYS, s), jnp.float32, 1.0, 8.0), axis=-1)
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     feat = encode_kernel_order(xyz.reshape(-1, 3), NFREQ, None)
     basis = sh_basis(SH_DEG, rays_d)
     basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - NB)))
-    noise = jax.random.normal(k4, (RAYS, S))
-    noise_sel = jax.random.normal(k5, (RAYS, S))
+    noise = jax.random.normal(k4, (RAYS, s))
+    noise_sel = jax.random.normal(k5, (RAYS, s))
     return packed, feat, basis16, z, noise, noise_sel
 
 
@@ -48,9 +48,10 @@ def _ref_composite(packed, feat, basis16, z, noise, noise_sel, with_noise,
                    white_back=True):
     """Reference: shaded kernel (interpret) + the composite formulas in jnp
     — the exact math of ops/volume.composite with explicit noise arrays."""
-    out8 = fused_shaded_mlp(packed, feat, basis16, DEPTH, SKIPS, S, NB, True)
-    sigma = out8[:, 0].reshape(RAYS, S)
-    rgb = out8[:, 1:4].reshape(RAYS, S, 3)
+    s = z.shape[1]
+    out8 = fused_shaded_mlp(packed, feat, basis16, DEPTH, SKIPS, s, NB, True)
+    sigma = out8[:, 0].reshape(RAYS, s)
+    rgb = out8[:, 1:4].reshape(RAYS, s, 3)
     d = jnp.concatenate(
         [z[:, 1:] - z[:, :-1], jnp.full((RAYS, 1), 1e10)], axis=-1
     )
@@ -150,6 +151,58 @@ def test_fused_render_depth_opacity_grads():
     g1 = jax.grad(loss_ref)(packed)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1e-3, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-3 * scale)
+
+
+def test_fused_render_quarantined_s64_pads_exactly():
+    """s=64's composite backward faults on the v5e, so fused_render runs it
+    padded to s=72 with zero-delta phantom samples (_QUARANTINED_S).  The
+    pad must be EXACT — forward outputs, wsel, and every gradient match the
+    unpadded composite math."""
+    from mc_nerf_tpu.ops.pallas import fused_render as fr
+
+    assert fr._safe_s(64) != 64  # the quarantine is active
+    s = 64
+    packed, feat, basis16, z, noise, noise_sel = _setup(seed=2, s=s)
+    coeff = jnp.asarray(
+        np.random.default_rng(7).normal(size=(RAYS, 3)), jnp.float32
+    )
+
+    ray_out, wsel = fused_render(
+        packed, feat, basis16, z, noise, noise_sel,
+        DEPTH, SKIPS, s, NB, True, True, True, True,
+    )
+    rgb_r, depth_r, opac_r, wsel_r = _ref_composite(
+        packed, feat, basis16, z, noise, noise_sel, True
+    )
+    assert wsel.shape == (RAYS, s)
+    np.testing.assert_allclose(np.asarray(ray_out[:, :3]), np.asarray(rgb_r),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ray_out[:, 3:4]), np.asarray(depth_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ray_out[:, 4:5]), np.asarray(opac_r),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(wsel), np.asarray(wsel_r),
+                               rtol=0, atol=2e-4)
+
+    def loss_fused(packed, feat, basis16):
+        out, _ = fused_render(
+            packed, feat, basis16, z, noise, noise_sel,
+            DEPTH, SKIPS, s, NB, True, True, True, True,
+        )
+        return jnp.sum(out[:, :3] * coeff)
+
+    def loss_ref(packed, feat, basis16):
+        rgb, _, _, _ = _ref_composite(packed, feat, basis16, z, noise,
+                                      noise_sel, True)
+        return jnp.sum(rgb * coeff)
+
+    g0 = jax.grad(loss_fused, argnums=(0, 1, 2))(packed, feat, basis16)
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(packed, feat, basis16)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert a.shape == b.shape  # dfeat un-padded back to the caller's s
         scale = max(1e-3, float(np.abs(b).max()))
         np.testing.assert_allclose(a, b, rtol=0, atol=5e-3 * scale)
 
