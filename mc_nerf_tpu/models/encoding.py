@@ -106,6 +106,82 @@ def _encode_bwd(n_freqs, res, dfeat):
 _encode.defvjp(_encode_fwd, _encode_bwd)
 
 
+def _spectrum_rows(x_t: jnp.ndarray, n_freqs: int):
+    """Per-octave (sin, cos) lists for [3, P] input — all lane-full."""
+    s0 = jnp.sin(x_t)
+    c0 = jnp.cos(x_t)
+    sins, coss = [s0], [c0]
+    for _ in range(n_freqs - 1):
+        s, c = sins[-1], coss[-1]
+        sins.append(2.0 * s * c)
+        coss.append(1.0 - 2.0 * s * s)
+    return sins, coss
+
+
+def _encode_t_impl(x_t, n_freqs, freq_weights):
+    sins, coss = _spectrum_rows(x_t, n_freqs)
+    if freq_weights is not None:
+        w = freq_weights.astype(x_t.dtype)
+        sins = [sk * w[k] for k, sk in enumerate(sins)]
+        coss = [ck * w[k] for k, ck in enumerate(coss)]
+    rows = [x_t]
+    for d in range(3):
+        rows += [sk[d : d + 1] for sk in sins]
+        rows += [ck[d : d + 1] for ck in coss]
+    return jnp.concatenate(rows, axis=0)        # [3 + 6L, P]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _encode_t(x_t, n_freqs, freq_weights):
+    return _encode_t_impl(x_t, n_freqs, freq_weights)
+
+
+def _encode_t_fwd(x_t, n_freqs, freq_weights):
+    return _encode_t_impl(x_t, n_freqs, freq_weights), (x_t, freq_weights)
+
+
+def _encode_t_bwd(n_freqs, res, dfeat):
+    """Analytic gradient in transposed space: every tensor is [*, P] with
+    points on lanes, so the contraction fuses with zero relayouts."""
+    x_t, freq_weights = res
+    p = x_t.shape[-1]
+    sins, coss = _spectrum_rows(x_t.astype(jnp.float32), n_freqs)
+    f = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    if freq_weights is not None:
+        f = f * freq_weights.astype(jnp.float32)
+    s_all = jnp.stack(sins, axis=1)              # [3, L, P]
+    c_all = jnp.stack(coss, axis=1)              # [3, L, P]
+    df = dfeat[3:].astype(jnp.float32).reshape(3, 2, n_freqs, p)
+    fcol = f[None, :, None]
+    dx = dfeat[:3].astype(jnp.float32) + jnp.sum(
+        df[:, 0] * (c_all * fcol) - df[:, 1] * (s_all * fcol), axis=1
+    )
+    dfw = None if freq_weights is None else jnp.zeros_like(freq_weights)
+    return dx.astype(x_t.dtype), dfw
+
+
+_encode_t.defvjp(_encode_t_fwd, _encode_t_bwd)
+
+
+def sincos_encode_t(
+    x_t: jnp.ndarray,
+    n_freqs: int,
+    freq_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Positional-encode points given TRANSPOSED: [3, P] -> [3(2L+1), P].
+
+    Row c equals column c of :func:`sincos_encode` — same channel layout,
+    built without ever materializing a [P, small] tensor.  On TPU the
+    [P, 3] / [P, 3, 2, L] intermediates of the untransposed encode lane-pad
+    up to 43x and cost ~3 ms/step of copies/dynamic-update-slices at train
+    scale (HLO audit, scripts/dev_hlo_analysis.py); here every intermediate
+    keeps points on the lane axis.  Consumers contract the leading channel
+    axis directly (:func:`mc_nerf_tpu.models.mlp.apply_nerf_mlp_t`), so the
+    [P, C] orientation never exists.
+    """
+    return _encode_t(x_t, n_freqs, freq_weights)
+
+
 def sincos_encode(
     x: jnp.ndarray,
     n_freqs: int,

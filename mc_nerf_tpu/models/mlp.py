@@ -113,3 +113,44 @@ def apply_nerf_mlp(
     c = jax.nn.relu(h @ params.sh_w0.astype(compute_dtype) + params.sh_b0.astype(compute_dtype))
     sh = c @ params.sh_w1.astype(compute_dtype) + params.sh_b1.astype(compute_dtype)
     return sigma.astype(jnp.float32), sh.astype(jnp.float32)
+
+
+def apply_nerf_mlp_t(
+    params: NerfMLPParams,
+    feat_t: jnp.ndarray,
+    skips: Sequence[int],
+    compute_dtype=jnp.bfloat16,
+    sigma_only: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Trunk + heads over TRANSPOSED features ``feat_t`` [C, P].
+
+    Identical math to :func:`apply_nerf_mlp` on ``feat_t.T``, restructured
+    for the TPU layout problem the HLO audit exposed (see
+    ``encoding.sincos_encode_t``): the first layer contracts the leading
+    channel axis of [C, P] directly (a transposed-LHS ``dot_general`` the
+    MXU handles natively), and skip layers split their weight into the
+    encode rows and the hidden rows — ``[x0, h] @ W == x0 @ W[:C] +
+    h @ W[C:]`` — so the [P, C+W] skip concat never materializes either.
+    The feature cotangent stays [C, P], flowing straight into the
+    transposed encode's analytic VJP.
+    """
+    ft = feat_t.astype(compute_dtype)
+    c_dim = feat_t.shape[0]
+    dn = (((0,), (0,)), ((), ()))            # [C,P] x [C,W] -> [P,W]
+    h = None
+    for i, (w, b) in enumerate(zip(params.trunk_w, params.trunk_b)):
+        wc = w.astype(compute_dtype)
+        if i == 0:
+            acc = jax.lax.dot_general(ft, wc, dn)
+        elif i in skips:
+            acc = jax.lax.dot_general(ft, wc[:c_dim], dn) + h @ wc[c_dim:]
+        else:
+            acc = h @ wc
+        h = jax.nn.relu(acc + b.astype(compute_dtype))
+    s = jax.nn.relu(h @ params.sigma_w0.astype(compute_dtype) + params.sigma_b0.astype(compute_dtype))
+    sigma = s @ params.sigma_w1.astype(compute_dtype) + params.sigma_b1.astype(compute_dtype)
+    if sigma_only:
+        return sigma.astype(jnp.float32), None
+    c = jax.nn.relu(h @ params.sh_w0.astype(compute_dtype) + params.sh_b0.astype(compute_dtype))
+    sh = c @ params.sh_w1.astype(compute_dtype) + params.sh_b1.astype(compute_dtype)
+    return sigma.astype(jnp.float32), sh.astype(jnp.float32)

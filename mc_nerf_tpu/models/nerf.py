@@ -16,8 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from mc_nerf_tpu.config import NerfConfig
-from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode
-from mc_nerf_tpu.models.mlp import NerfMLPParams, apply_nerf_mlp, init_nerf_mlp
+from mc_nerf_tpu.models.encoding import barf_weights, sincos_encode_t
+from mc_nerf_tpu.models.mlp import (
+    NerfMLPParams,
+    apply_nerf_mlp_t,
+    init_nerf_mlp,
+)
 from mc_nerf_tpu.models.sh import sh_basis
 from mc_nerf_tpu.ops.pallas.fused_mlp import (
     BASIS_LANES,
@@ -58,24 +62,34 @@ def init_nerf_params(key: jax.Array, cfg: NerfConfig) -> NerfParams:
 def _shade(
     mlp: NerfMLPParams,
     skips,
-    xyz: jnp.ndarray,
+    xyz_t: jnp.ndarray,
     basis: jnp.ndarray,
     cfg: NerfConfig,
     freq_w: Optional[jnp.ndarray],
     compute_dtype,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    sigma_only: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Encode points, run the MLP, shade SH -> (sigma [R,S], rgb [R,S,3]).
 
-    The sample axis is flattened into the GEMM M dimension ([R*S, C] 2-D
-    dots — XLA lowers 3-D contractions to convolutions with worse layouts),
-    and the SH basis is per-ray ([R, B]) and reused across the sample axis —
-    cheaper than the reference's per-sample direction expansion
-    (mc_nerf.py:688).
+    Takes TRANSPOSED points ``xyz_t`` [3, R, S]: the encode and the first /
+    skip MLP layers run in [C, P] space with points on the lane axis
+    (``sincos_encode_t`` / ``apply_nerf_mlp_t``) — the [P, 3]-shaped
+    intermediates of the natural orientation lane-pad up to 43x on TPU and
+    cost ~3 ms/step in copies/update-slices at train scale (HLO audit).
+    The sample axis is flattened into the GEMM M dimension, and the SH
+    basis is per-ray ([R, B]) and reused across the sample axis — cheaper
+    than the reference's per-sample direction expansion (mc_nerf.py:688).
     """
-    r, s = xyz.shape[0], xyz.shape[1]
-    x_enc = sincos_encode(xyz.reshape(r * s, 3), cfg.emb_freqs_xyz, freq_w)
-    sigma, sh = apply_nerf_mlp(mlp, x_enc, skips, compute_dtype)
+    r, s = xyz_t.shape[1], xyz_t.shape[2]
+    x_enc_t = sincos_encode_t(
+        xyz_t.reshape(3, r * s), cfg.emb_freqs_xyz, freq_w
+    )
+    sigma, sh = apply_nerf_mlp_t(
+        mlp, x_enc_t, skips, compute_dtype, sigma_only=sigma_only
+    )
     sigma = sigma.reshape(r, s)
+    if sigma_only:
+        return sigma, None
     # SH contraction without transposed layouts: the obvious
     # reshape-to-[r,s,3,nb] + einsum forced XLA into {1,0,3,2}-layout
     # reshapes costing ~1.2 ms/step at train scale; minor-dim splits +
@@ -226,28 +240,37 @@ def render_rays_train(
         )
         return ray_c[:, :3], ray_f[:, :3]
 
-    def shade_c(xyz):
+    # transposed ray tensors for the lane-friendly shade path ([3, R]);
+    # tiny relayout (84 KB at 7000 rays) vs the [P, 3] ones it prevents
+    o_t, d_t = rays_o.T, rays_d.T
+
+    def shade_c(z):
         if use_pallas:
+            xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
             return _shade_train_kernel(
                 params.coarse, cfg.coarse_depth, cfg.coarse_skips, xyz, basis,
                 cfg, freq_w, interpret,
             )
+        xyz_t = o_t[:, :, None] + d_t[:, :, None] * z[None, :, :]
         return _shade(
-            params.coarse, cfg.coarse_skips, xyz, basis, cfg, freq_w, compute_dtype
+            params.coarse, cfg.coarse_skips, xyz_t, basis, cfg, freq_w,
+            compute_dtype,
         )
 
-    def shade_f(xyz):
+    def shade_f(z):
         if use_pallas:
+            xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
             return _shade_train_kernel(
                 params.fine, cfg.fine_depth, cfg.fine_skips, xyz, basis,
                 cfg, freq_w, interpret,
             )
+        xyz_t = o_t[:, :, None] + d_t[:, :, None] * z[None, :, :]
         return _shade(
-            params.fine, cfg.fine_skips, xyz, basis, cfg, freq_w, compute_dtype
+            params.fine, cfg.fine_skips, xyz_t, basis, cfg, freq_w,
+            compute_dtype,
         )
 
-    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
-    sigma_c, rgb_c = shade_c(xyz_c)
+    sigma_c, rgb_c = shade_c(z_c)
     out_c = composite(z_c, sigma_c, rgb_c, noise_key=kn_c, white_back=cfg.white_back)
 
     # --- fine-bin selection (no gradients, fresh noise: ref mc_nerf.py:613-621)
@@ -256,8 +279,7 @@ def render_rays_train(
 
     if fine_mode == "importance":
         z_f = sample_pdf(z_c, w_sel, importance_samples, key=kn_pdf)
-        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-        sigma_f, rgb_f = shade_f(xyz_f)
+        sigma_f, rgb_f = shade_f(z_f)
         out_f = composite(
             z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back,
             last_inf=True,
@@ -274,8 +296,7 @@ def render_rays_train(
     step_f = (cfg.far - cfg.near) / (sf - 1)
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f + jitter  # [R, Kf]
 
-    xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-    sigma_f, rgb_f = shade_f(xyz_f)
+    sigma_f, rgb_f = shade_f(z_f)
     sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     # max_delta: z_f is a gathered subset of the uniform fine grid; the
@@ -373,35 +394,38 @@ def render_rays_eval(
         )
     basis = sh_basis(cfg.sh_deg, rays_d)
 
-    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
+    o_t, d_t = rays_o.T, rays_d.T
     if packed is not None:
+        xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
         sigma_c, _ = _shade_pallas(
             packed[0], cfg.coarse_depth, cfg.coarse_skips, xyz_c, None, cfg,
             interpret,
         )
     else:
-        x_enc = sincos_encode(xyz_c.reshape(n_rays * sc, 3), cfg.emb_freqs_xyz, None)
-        sigma_c, _ = apply_nerf_mlp(
-            params.coarse, x_enc, cfg.coarse_skips, compute_dtype, sigma_only=True
+        xyz_t = o_t[:, :, None] + d_t[:, :, None] * z_c[None, :, :]
+        sigma_c, _ = _shade(
+            params.coarse, cfg.coarse_skips, xyz_t, basis, cfg, None,
+            compute_dtype, sigma_only=True,
         )
-        sigma_c = sigma_c.reshape(n_rays, sc)
     deltas_c = compute_deltas(z_c, last_inf=True)
     w_sel = sigma_to_weights(deltas_c, sigma_c, noise_key=None)
 
-    def shade_fine(xyz_f):
+    def shade_fine(z_f):
         if packed is not None:
+            xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
             return _shade_pallas(
                 packed[1], cfg.fine_depth, cfg.fine_skips, xyz_f, basis, cfg,
                 interpret,
             )
+        xyz_t = o_t[:, :, None] + d_t[:, :, None] * z_f[None, :, :]
         return _shade(
-            params.fine, cfg.fine_skips, xyz_f, basis, cfg, None, compute_dtype
+            params.fine, cfg.fine_skips, xyz_t, basis, cfg, None, compute_dtype
         )
 
     if fine_mode == "importance":
         z_f = sample_pdf(z_c, w_sel, importance_samples)            # [R, K]
-        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
         if packed is not None:
+            xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
             # fused MLP + shading + composite in one kernel call
             nb = (cfg.sh_deg + 1) ** 2
             basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
@@ -414,7 +438,7 @@ def render_rays_eval(
                 False, False, cfg.white_back, interpret,
             )
             return ray_f[:, :3], ray_f[:, 3:4], ray_f[:, 4:5]
-        sigma_f, rgb_f = shade_fine(xyz_f)
+        sigma_f, rgb_f = shade_fine(z_f)
         out = composite(
             z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
             last_inf=True,
@@ -430,8 +454,7 @@ def render_rays_eval(
     sf = cfg.samples_fine_grid
     step_f = (cfg.far - cfg.near) / (sf - 1)
     z_f = cfg.near + sample_idx.astype(jnp.float32) * step_f
-    xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
-    sigma_f, rgb_f = shade_fine(xyz_f)
+    sigma_f, rgb_f = shade_fine(z_f)
     sigma_f = jnp.where(sample_valid, sigma_f, cfg.sigma_default)
     rgb_f = jnp.where(sample_valid[..., None], rgb_f, 1.0)
     out = composite(

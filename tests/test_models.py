@@ -172,3 +172,71 @@ def test_encode_custom_vjp_matches_autodiff(rng):
         np.testing.assert_allclose(
             np.asarray(g_custom), np.asarray(g_auto), rtol=3e-3, atol=1e-3
         )
+
+
+# --- transposed ([C, P]) encode/MLP path ----------------------------------
+
+def test_encode_t_matches_untransposed(rng):
+    """Row c of sincos_encode_t == column c of sincos_encode (same layout)."""
+    from mc_nerf_tpu.models.encoding import sincos_encode_t
+
+    x = jnp.asarray(rng.normal(size=(37, 3)).astype(np.float32))
+    w = jnp.asarray(np.linspace(0.2, 1.0, 10).astype(np.float32))
+    for fw in (None, w):
+        a = sincos_encode(x, 10, fw)                  # [P, C]
+        b = sincos_encode_t(x.T, 10, fw)              # [C, P]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b.T), rtol=1e-5, atol=1e-5)
+
+
+def test_encode_t_grad_matches_untransposed(rng):
+    from mc_nerf_tpu.models.encoding import sincos_encode_t
+
+    x = jnp.asarray(rng.normal(size=(23, 3)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(23, 63)).astype(np.float32))
+    w = jnp.asarray(np.linspace(0.2, 1.0, 10).astype(np.float32))
+    for fw in (None, w):
+        g_ref = jax.grad(lambda xx: jnp.sum(sincos_encode(xx, 10, fw) * r))(x)
+        g_t = jax.grad(lambda xx: jnp.sum(sincos_encode_t(xx.T, 10, fw) * r.T))(x)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref), rtol=3e-3, atol=1e-3)
+
+
+def test_mlp_t_matches_untransposed(rng):
+    from mc_nerf_tpu.models.mlp import apply_nerf_mlp_t
+
+    key = jax.random.PRNGKey(3)
+    depth, width, in_dim, sh_dim, skips = 4, 32, 63, 27, (2,)
+    params = init_nerf_mlp(key, in_dim, depth, width, skips, sh_dim)
+    x = jnp.asarray(rng.normal(size=(19, in_dim)).astype(np.float32))
+    s_ref, sh_ref = apply_nerf_mlp(params, x, skips, compute_dtype=jnp.float32)
+    s_t, sh_t = apply_nerf_mlp_t(params, x.T, skips, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_t), np.asarray(sh_ref), rtol=1e-5, atol=1e-5)
+    s_only, none_sh = apply_nerf_mlp_t(
+        params, x.T, skips, compute_dtype=jnp.float32, sigma_only=True
+    )
+    assert none_sh is None
+    np.testing.assert_allclose(np.asarray(s_only), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_mlp_t_grads_match_untransposed(rng):
+    """Param + input grads agree between the [P, C] and [C, P] formulations."""
+    from mc_nerf_tpu.models.mlp import apply_nerf_mlp_t
+
+    key = jax.random.PRNGKey(4)
+    depth, width, in_dim, sh_dim, skips = 3, 16, 9, 12, (1,)
+    params = init_nerf_mlp(key, in_dim, depth, width, skips, sh_dim)
+    x = jnp.asarray(rng.normal(size=(11, in_dim)).astype(np.float32))
+
+    def loss_ref(p, xx):
+        s, sh = apply_nerf_mlp(p, xx, skips, compute_dtype=jnp.float32)
+        return jnp.sum(s**2) + jnp.sum(jnp.sin(sh))
+
+    def loss_t(p, xx):
+        s, sh = apply_nerf_mlp_t(p, xx.T, skips, compute_dtype=jnp.float32)
+        return jnp.sum(s**2) + jnp.sum(jnp.sin(sh))
+
+    gp_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gp_t, gx_t = jax.grad(loss_t, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gp_t), jax.tree.leaves(gp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
