@@ -30,7 +30,7 @@ from PIL import Image
 
 from mc_nerf_tpu.config import Config
 from mc_nerf_tpu.cameras.convention import w2c_to_blender_pose
-from mc_nerf_tpu.data.blender import Scene, load_scene
+from mc_nerf_tpu.data.blender import Scene, load_scene, load_split
 from mc_nerf_tpu.data.calibration import load_calibration
 from mc_nerf_tpu.eval.metrics import lpips, psnr, ssim
 from mc_nerf_tpu.models.camera_params import (
@@ -459,6 +459,12 @@ class Engine:
         )
         logging.info("Loaded checkpoint epoch %d", epoch)
         test = self.scene.test
+        if test.images_u8 is None:
+            # the engine was constructed in train mode (test images skipped
+            # at load, engine.py:96); train-then-demo in one process is
+            # legitimate API use, so load them now and cache for reuse
+            test = load_split(cfg.scene_dir, "test", load_images=True)
+            self.scene.test = test
         render = self._render_fn(test.img_h, test.img_w)
         occ = None
         if self._occ_eval:
