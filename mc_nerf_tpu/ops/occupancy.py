@@ -128,7 +128,7 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
     cell by one voxel so boundary geometry is never starved.
 
     Returns:
-      [G*G, G] float32 in {0, 1}; row = ix * G + iy, lane = iz.
+      [G*G, G] bfloat16 in {0, 1}; row = ix * G + iy, lane = iz.
     """
     g = grid.density.shape[0]
     # step = the spacing the culled coarse pass actually takes
@@ -141,7 +141,10 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
         occ = jax.lax.reduce_window(
             occ, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
         )
-    return occ.reshape(g * g, g)
+    # bf16 storage: values are exactly {0, 1}, and the probe's row gather is
+    # the single largest HBM op in the train step ([R, P, G] rows — 114 MB
+    # at reference scale in f32); bf16 halves that traffic exactly
+    return occ.reshape(g * g, g).astype(jnp.bfloat16)
 
 
 def probe_occupancy(
@@ -171,8 +174,9 @@ def probe_occupancy(
     idx = jnp.clip(idx, 0, g - 1)
     rows = jnp.take(occ2d, idx[..., 0] * g + idx[..., 1], axis=0)   # [..., G]
     lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-    val = jnp.sum(jnp.where(lane == idx[..., 2:3], rows, 0.0), axis=-1)
-    return val * inb.astype(val.dtype)
+    zero = jnp.zeros((), rows.dtype)
+    val = jnp.sum(jnp.where(lane == idx[..., 2:3], rows, zero), axis=-1)
+    return val.astype(jnp.float32) * inb.astype(jnp.float32)
 
 
 def occupancy_pmf(

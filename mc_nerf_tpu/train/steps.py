@@ -53,7 +53,7 @@ class TrainData(NamedTuple):
 
     images_u8: jnp.ndarray   # [N, H*W, 3] uint8 white-composited train images
     calib: CalibrationData
-    occ: Optional[jnp.ndarray] = None   # [G*G, G] f32 binary occupancy
+    occ: Optional[jnp.ndarray] = None   # [G*G, G] bf16 binary occupancy
 
 
 class TrainState(NamedTuple):

@@ -1,0 +1,126 @@
+"""Multi-rig sampling-budget A/B: validate the library defaults on >=3 rigs.
+
+Round-2's occ32/imp16 default rested on one scene (Ball spheres) and lost
+0.55 dB at the full reference protocol (VERDICT r2 "what's weak" #1).  This
+runs the budget ladder on the OTHER reference rig geometries — Array (10x10
+planar grid, ref ``synthetic_dataset_code/Array.py:21-28``) and Room (88
+cams on the walls of a box, ``Room.py:18-29``) — at full 800x800 scale with
+cameras self-calibrated from scratch, the same (20, 6, 6) schedule as the
+Ball A/B (BASELINE.md), so the three rigs' rankings are comparable.
+
+Configs: occ48/imp32 (conservative), occ32/imp16 (default), occ24/imp12
+(candidate — the next step toward the 10x throughput north star, adopted
+only if quality holds across rigs per VERDICT r2 #1/#4).
+
+Usage:
+  python scripts/dev_rig_ab.py gen                    # write both scenes (CPU)
+  python scripts/dev_rig_ab.py run [rig] [config...]  # train + demo
+  python scripts/dev_rig_ab.py report
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/rig_ab"
+RIGS = {"array": 100, "room": 88}   # reference camera counts
+RES = 800
+N_TEST = 30
+CONFIGS = {
+    "occ48_imp32": (48, 32),
+    "occ32_imp16": (32, 16),
+    "occ24_imp12": (24, 12),
+}
+
+
+def cmd_gen() -> None:
+    from mc_nerf_tpu.data.synthetic import make_dataset
+
+    for rig, n_train in RIGS.items():
+        scene_dir = os.path.join(ROOT, "data", f"{rig.capitalize()}_Spheres")
+        if os.path.exists(os.path.join(scene_dir, "transforms_test.json")):
+            print("scene exists:", scene_dir, flush=True)
+            continue
+        t0 = time.time()
+        make_dataset(
+            scene_dir, n_train=n_train, n_val=4, n_test=N_TEST,
+            img_h=RES, img_w=RES, seed=7, calibration_mode="analytic",
+            rig=rig,
+        )
+        print(f"scene written: {scene_dir} ({time.time()-t0:.0f}s)", flush=True)
+
+
+def run_one(rig: str, config: str) -> dict:
+    from mc_nerf_tpu.config import (
+        Config, EvalConfig, NerfConfig, PathsConfig, StageConfig, TrainConfig,
+    )
+    from mc_nerf_tpu.train.engine import Engine
+
+    occ_c, imp = CONFIGS[config]
+    out = os.path.join(ROOT, f"{rig}_{config}")
+    cfg = Config(
+        data_root=os.path.join(ROOT, "data"),
+        data_name=f"{rig.capitalize()}_Spheres",
+        stages=StageConfig(20, 6, 6),
+        train=TrainConfig(
+            rays_per_batch=7000, steps_per_image_epoch=50,
+            importance_samples=imp,
+        ),
+        nerf=NerfConfig(occ_coarse_samples=occ_c),
+        eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=imp),
+        paths=PathsConfig(
+            root_weights=os.path.join(out, "weights"),
+            root_out=os.path.join(out, "results"),
+            log_path=os.path.join(out, "log"),
+            tb_path=os.path.join(out, "tb"),
+        ),
+    )
+    t0 = time.time()
+    Engine(cfg).train(resume=True)
+    t_train = time.time() - t0
+    eng = Engine(cfg.replace(mode=1))
+    t0 = time.time()
+    result = eng.demo()
+    result.update(rig=rig, config=config,
+                  train_hours=round(t_train / 3600, 3),
+                  demo_seconds=round(time.time() - t0, 1))
+    print(f"RIG_AB[{rig}/{config}]:", json.dumps(result), flush=True)
+    path = os.path.join(ROOT, "results.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    return result
+
+
+def cmd_report() -> None:
+    path = os.path.join(ROOT, "results.jsonl")
+    rows = [json.loads(l) for l in open(path)] if os.path.exists(path) else []
+    print(f"{'rig':8s} {'config':12s} {'PSNR':>7s} {'SSIM':>7s} {'train h':>8s}")
+    for r in rows:
+        print(f"{r['rig']:8s} {r['config']:12s} {r['psnr']:7.2f} "
+              f"{r['ssim']:7.4f} {r['train_hours']:8.2f}")
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if cmd == "gen":
+        cmd_gen()
+    elif cmd == "run":
+        rigs = [sys.argv[2]] if len(sys.argv) > 2 else list(RIGS)
+        configs = sys.argv[3:] or list(CONFIGS)
+        for rig in rigs:
+            for config in configs:
+                run_one(rig, config)
+    elif cmd == "report":
+        cmd_report()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
