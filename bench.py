@@ -35,7 +35,13 @@ import numpy as np
 BASELINE_RAYS_PER_SEC_PER_CHIP = 7.0e4
 ANCHOR_KIND = "estimated"  # see above + BASELINE.md "anchor grounding"
 
-N_STEPS = 30
+# Steps per compiled epoch program.  Real training runs 500-step programs
+# (TrainConfig.max_steps_per_program chunking under the platform watchdog);
+# benching 30-step programs overstated the per-epoch dispatch+sync overhead
+# ~16x vs production (one ~36 ms tunnel round trip amortized over 30 vs 500
+# steps).  200 keeps the program far under the ~60 s execution watchdog
+# (200 x ~15 ms = 3 s) while measuring what training actually sustains.
+N_STEPS = 200
 
 
 def main() -> None:

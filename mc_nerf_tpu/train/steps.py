@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
+from jax.flatten_util import ravel_pytree
 from jax.sharding import PartitionSpec as P
 
 from mc_nerf_tpu.config import Config
@@ -39,7 +39,7 @@ from mc_nerf_tpu.models.nerf import (
 )
 from mc_nerf_tpu.parallel.mesh import shard_batch
 from mc_nerf_tpu.train.loss import reprojection_loss, rgb_loss, self_normalized
-from mc_nerf_tpu.train.optim import Params
+from mc_nerf_tpu.train.optim import FlatOptState, Params
 
 
 class TrainData(NamedTuple):
@@ -58,7 +58,7 @@ class TrainData(NamedTuple):
 
 class TrainState(NamedTuple):
     params: Params
-    opt_states: Tuple            # one optax state per stage
+    opt_states: Tuple            # one FlatOptState per stage
     step: jnp.ndarray            # global step counter (drives BARF progress)
 
 
@@ -188,35 +188,39 @@ def make_loss_fn(
     return loss_fn
 
 
-def _update(state: TrainState, grads, metrics, stage: int, tx):
-    updates, new_opt = tx.update(grads, state.opt_states[stage], state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    new_opts = tuple(
-        new_opt if i == stage else s for i, s in enumerate(state.opt_states)
-    )
-    return TrainState(new_params, new_opts, state.step + 1), metrics
-
-
 def make_stage_step(
     cfg: Config,
     stage: int,
-    tx: optax.GradientTransformation,
+    tx,
     img_h: int,
     img_w: int,
     total_steps: int,
     images_per_batch: int = 1,
     mesh=None,
 ) -> Callable:
-    """Single jitted step: ``(state, data, key) -> (state, metrics)``."""
+    """Single jitted step: ``(state, data, key) -> (state, metrics)``.
+
+    ``tx`` is the stage's :class:`mc_nerf_tpu.train.optim.FlatRAdam`; the
+    parameter pytree flattens at the jit boundary (``ravel_pytree``) so the
+    optimizer touches three ``[N]`` buffers, and unflattens on exit — the
+    unravel is slices+reshapes XLA fuses into the consumers.
+    """
     loss_fn = make_loss_fn(
         cfg, stage, img_h, img_w, total_steps, images_per_batch, mesh
     )
 
     def step_fn(state: TrainState, data: TrainData, key: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, data, key, state.step
+        p_flat, unravel = ravel_pytree(state.params)
+
+        def flat_loss(pf):
+            return loss_fn(unravel(pf), data, key, state.step)
+
+        (_, metrics), g_flat = jax.value_and_grad(flat_loss, has_aux=True)(p_flat)
+        new_flat, new_opt = tx.update(g_flat, state.opt_states[stage], p_flat)
+        new_opts = tuple(
+            new_opt if i == stage else s for i, s in enumerate(state.opt_states)
         )
-        return _update(state, grads, metrics, stage, tx)
+        return TrainState(unravel(new_flat), new_opts, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -224,7 +228,7 @@ def make_stage_step(
 def make_stage_epoch(
     cfg: Config,
     stage: int,
-    tx: optax.GradientTransformation,
+    tx,
     img_h: int,
     img_w: int,
     total_steps: int,
@@ -236,6 +240,13 @@ def make_stage_epoch(
 
     ``(state, data, epoch_key) -> (state, mean_metrics)`` — the TPU-native
     replacement for the reference's per-step Python loop (``main.py:78-91``).
+
+    The scan carries exactly five flat arrays — params [N], RAdam mu/nu
+    [N], the optimizer count, and the global step — instead of round 2's
+    ~50-leaf (params, optax-state) pytree, whose small per-leaf carry
+    copies/slices XLA could not alias (~1 ms/step profiled at reference
+    scale; an earlier cut of the same problem — carrying all three stages'
+    states — cost 5.4 ms/step).
     """
     loss_fn = make_loss_fn(
         cfg, stage, img_h, img_w, total_steps, images_per_batch, mesh
@@ -243,26 +254,29 @@ def make_stage_epoch(
 
     def epoch_fn(state: TrainState, data: TrainData, epoch_key: jax.Array):
         keys = jax.random.split(epoch_key, steps_per_epoch)
+        p_flat, unravel = ravel_pytree(state.params)
+        opt = state.opt_states[stage]
 
-        # carry ONLY the active stage's optimizer state through the scan:
-        # carrying the full 3-stage tuple measured 5.4 ms/step of while-loop
-        # carry copies (XLA fails to alias the untouched stages) — ~18% of
-        # the whole step at reference scale
         def body(carry, key):
-            params, opt_state, step = carry
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, data, key, step
-            )
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return (new_params, new_opt, step + 1), metrics
+            pf, mu, nu, count, step = carry
 
-        carry = (state.params, state.opt_states[stage], state.step)
-        (params, opt_state, step), metrics = jax.lax.scan(body, carry, keys)
+            def flat_loss(f):
+                return loss_fn(unravel(f), data, key, step)
+
+            (_, metrics), gf = jax.value_and_grad(flat_loss, has_aux=True)(pf)
+            new_pf, new_opt = tx.update(gf, FlatOptState(mu, nu, count), pf)
+            return (
+                (new_pf, new_opt.mu, new_opt.nu, new_opt.count, step + 1),
+                metrics,
+            )
+
+        carry = (p_flat, opt.mu, opt.nu, opt.count, state.step)
+        (pf, mu, nu, count, step), metrics = jax.lax.scan(body, carry, keys)
         new_opts = tuple(
-            opt_state if i == stage else s for i, s in enumerate(state.opt_states)
+            FlatOptState(mu, nu, count) if i == stage else s
+            for i, s in enumerate(state.opt_states)
         )
-        return TrainState(params, new_opts, step), jax.tree.map(jnp.mean, metrics)
+        return TrainState(unravel(pf), new_opts, step), jax.tree.map(jnp.mean, metrics)
 
     return jax.jit(epoch_fn, donate_argnums=(0,))
 

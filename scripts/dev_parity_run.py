@@ -57,7 +57,14 @@ def main():
             occ_grid_size=int(os.environ.get("MC_NERF_OCC_GRID", "64")),
             occ_coarse_samples=int(os.environ.get("MC_NERF_OCC_COARSE", "48")),
         ),
-        eval=EvalConfig(res_h=hw, res_w=hw),
+        eval=EvalConfig(
+            res_h=hw, res_w=hw,
+            # the ref demo path evaluates with the same hierarchical scheme
+            # it trains (main.py:98-173); match the train fine_mode so the
+            # grid-protocol run is apples-to-apples end to end
+            fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "importance"),
+            importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "32")),
+        ),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),
             root_out=os.path.join(out, "results"),

@@ -161,3 +161,82 @@ def test_gt_camera_init_round_trip(loaded):
     np.testing.assert_allclose(np.asarray(K), scene.train.K, rtol=1e-4)
     poses = camera_poses(cam)
     np.testing.assert_allclose(np.asarray(poses), scene.train.poses_w2c, atol=2e-4)
+
+
+def test_flat_radam_matches_optax_chain():
+    """FlatRAdam == the optax chain it replaced (clip -> scale_by_radam ->
+    add_decayed_weights -> lr), elementwise on a random flat problem."""
+    import optax
+    from mc_nerf_tpu.train.optim import FlatRAdam
+
+    rng = np.random.default_rng(0)
+    n = 137
+    p0 = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    mask_np = (rng.uniform(size=n) < 0.7).astype(np.float32)
+    mask = jnp.asarray(mask_np)
+    wd, lr, clip = 4e-4, 3e-3, 10.0
+
+    flat = FlatRAdam(mask=mask, lr=lr, weight_decay=wd, clip=clip)
+    st_f = flat.init(p0)
+
+    # optax reference: masked partition exactly like round 2's multi_transform
+    labels = jnp.where(mask > 0, 0, 1)  # 0=train, 1=freeze (per-element via trees)
+    tx = optax.multi_transform(
+        {
+            "train": optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.scale_by_radam(b1=0.9, b2=0.999, eps=1e-8, threshold=5.0),
+                optax.add_decayed_weights(wd),
+                optax.scale_by_learning_rate(lr),
+            ),
+            "freeze": optax.set_to_zero(),
+        },
+        {"t": "train", "f": "freeze"},
+    )
+    # split the flat problem into trainable/frozen sub-vectors for optax
+    t_idx = np.nonzero(mask_np)[0]
+    f_idx = np.nonzero(1 - mask_np)[0]
+    p_opt = {"t": p0[t_idx], "f": p0[f_idx]}
+    st_o = tx.init(p_opt)
+
+    p_f = p0
+    key = jax.random.PRNGKey(5)
+    for i in range(7):
+        key, k = jax.random.split(key)
+        g = jax.random.normal(k, (n,)) * (10.0 if i == 2 else 1.0)  # spike -> clip path
+        p_f, st_f = flat.update(g, st_f, p_f)
+        g_opt = {"t": g[t_idx], "f": g[f_idx]}
+        upd, st_o = tx.update(g_opt, st_o, p_opt)
+        p_opt = optax.apply_updates(p_opt, upd)
+
+    np.testing.assert_allclose(np.asarray(p_f)[t_idx], np.asarray(p_opt["t"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p_f)[f_idx], np.asarray(p0)[f_idx])
+
+
+def test_flat_radam_schedule_matches_optax():
+    """Callable-lr FlatRAdam == optax exponential_decay schedule."""
+    import optax
+    from mc_nerf_tpu.train.optim import FlatRAdam
+
+    n, gamma, init = 31, 0.9, 0.1
+    p0 = jnp.asarray(np.linspace(-1, 1, n).astype(np.float32))
+    flat = FlatRAdam(mask=jnp.ones(n), lr=lambda c: init * gamma**c,
+                     weight_decay=0.0, clip=0.0)
+    st_f = flat.init(p0)
+    tx = optax.chain(
+        optax.scale_by_radam(threshold=5.0),
+        optax.scale_by_learning_rate(
+            optax.exponential_decay(init, transition_steps=1, decay_rate=gamma)
+        ),
+    )
+    st_o = tx.init(p0)
+    p_f = p_o = p0
+    key = jax.random.PRNGKey(6)
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        g = jax.random.normal(k, (n,))
+        p_f, st_f = flat.update(g, st_f, p_f)
+        upd, st_o = tx.update(g, st_o, p_o)
+        p_o = optax.apply_updates(p_o, upd)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_o), rtol=1e-4, atol=1e-5)
