@@ -167,3 +167,16 @@ def test_engine_resume(scene_dir, tmp_path):
     engine3 = Engine(cfg)
     state = engine3.train(resume=True)
     assert int(state.step) == step_after
+
+
+def test_engine_train_mode_demo_lazy_loads_test_images(scene_dir, tmp_path):
+    """train(); demo() in one process: the train-mode engine skips test
+    images at load (engine.py:96) and demo() must lazy-load them."""
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    engine = Engine(cfg)  # mode=0
+    engine.train()
+    assert engine.scene.test.images_u8 is None
+    result = engine.demo()
+    assert engine.scene.test.images_u8 is not None
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])
