@@ -82,14 +82,15 @@ class TrainConfig:
     # "+3.6 dB" reading did NOT hold at scale).  "grid" remains the
     # reference-faithful max-quality path.
     fine_mode: str = "importance"
-    # 16 fine samples/ray: with occupancy-culled coarse sampling (occ32)
-    # this A/B'd BEST at the reference geometry — 30.56 PSNR / 0.984 SSIM
-    # vs 30.15 / 0.987 for occ48/imp32 (Ball 110 cams @ 800x800, 50-view
-    # demo, scripts/dev_scale_ab.py) — while training 1.75x faster
-    # (428k vs 244k rays/s/chip).  occ48/imp32 (27.0 PSNR at the full
-    # 52-epoch 200-view protocol) is the conservative setting for scenes
-    # with finer geometry than the A/B scene.
-    importance_samples: int = 16     # fine samples/ray for fine_mode="importance"
+    # 32 fine samples/ray: the occ48/imp32 pair won the round-3 multi-rig
+    # A/B on every rig geometry at protocol-like schedules — Ball 52-epoch
+    # protocol 27.01 vs 26.45 PSNR, Array 19.22 vs 18.08, Room 31.40 vs
+    # 29.41 (vs occ32/imp16; scripts/dev_rig_ab.py, BASELINE.md) — so the
+    # default is the quality-sound pair.  occ32/imp16 remains the fast
+    # setting (1.7x rays/s at a 0.5-2 dB cost depending on rig); the
+    # occ24/imp12 budget collapsed on the Array rig (15.4 PSNR) and was
+    # rejected.
+    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
     # fused fwd+bwd MLP kernel for training; None resolves in
     # train/steps.py:make_loss_fn to the measured train-time winner —
     # currently False (XLA; the fused kernels reached parity, not victory,
@@ -167,11 +168,20 @@ class NerfConfig:
     occ_thresh: float = 0.01         # occupied iff softplus(sigma)*coarse_step > this
     occ_decay: float = 0.95          # EMA-max decay per refresh
     occ_update_every: int = 1        # epochs between grid refreshes (stages 2-3)
+    # NeRF-stage steps before the FIRST grid refresh; until then the
+    # all-occupied prior (= uniform sampling) is used.  Deriving the grid
+    # from a coarse MLP that has only trained a few hundred DC-masked (BARF)
+    # steps mislocalizes the culling and can collapse the fine MLP to empty
+    # space it can never recover from (softplus gradient vanishes) —
+    # reproduced at 96x96/12-cam scale, where one epoch is only 600 steps;
+    # at the reference 800x800 scale one epoch is 5500 steps, so the default
+    # leaves full-scale behavior unchanged.
+    occ_warmup_steps: int = 3000
     occ_floor: float = 0.01          # exploration floor in the sampling PMF
     occ_probes: int = 64             # per-ray occupancy probes across [near, far]
-    # 32 culling-guided coarse samples/ray: the occ32/imp16 default pair —
-    # see TrainConfig.importance_samples for the quality evidence
-    occ_coarse_samples: int = 32     # coarse samples/ray under culling
+    # 48 culling-guided coarse samples/ray: the occ48/imp32 default pair —
+    # see TrainConfig.importance_samples for the multi-rig quality evidence
+    occ_coarse_samples: int = 48     # coarse samples/ray under culling
     occ_dilate: bool = True          # 3^3 max-pool safety margin
 
     @property
@@ -203,9 +213,8 @@ class EvalConfig:
     fine_mode: str = "importance"    # "importance" (TPU-fast) | "grid" (ref-faithful)
     # eval fine samples: match the train-time sample density — measured
     # best on full-protocol checkpoints (28.01 PSNR @ 32 vs 27.94 @ 64 on
-    # an imp32-trained model, scripts/dev_eval_ab.py; the occ32/imp16 A/B
-    # demo'd 30.56 PSNR evaluating at 16)
-    importance_samples: int = 16     # fine samples/ray for fine_mode="importance"
+    # an imp32-trained model, scripts/dev_eval_ab.py)
+    importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
     use_pallas: Optional[bool] = None  # fused MLP kernel; None = auto (TPU only)
 
 
@@ -339,6 +348,7 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_thresh=get(model, "nerf", "occ_thresh", default=cfg.nerf.occ_thresh),
         occ_decay=get(model, "nerf", "occ_decay", default=cfg.nerf.occ_decay),
         occ_update_every=get(model, "nerf", "occ_update_every", default=cfg.nerf.occ_update_every),
+        occ_warmup_steps=get(model, "nerf", "occ_warmup_steps", default=cfg.nerf.occ_warmup_steps),
         occ_floor=get(model, "nerf", "occ_floor", default=cfg.nerf.occ_floor),
         occ_probes=get(model, "nerf", "occ_probes", default=cfg.nerf.occ_probes),
         occ_coarse_samples=get(model, "nerf", "occ_coarse_samples", default=cfg.nerf.occ_coarse_samples),

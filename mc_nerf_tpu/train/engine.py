@@ -283,7 +283,10 @@ class Engine:
                 logging.info("Resumed from epoch %d", start_epoch - 1)
 
         if self._occ_train:
-            if start_epoch > cfg.stages.cam_param_epochs:
+            resumed_nerf_steps = (
+                start_epoch - cfg.stages.cam_param_epochs
+            ) * self.steps_per_epoch
+            if resumed_nerf_steps >= cfg.nerf.occ_warmup_steps:
                 # resume mid/post NeRF training: the grid is derived state —
                 # rebuild it from the restored coarse MLP in one call
                 self._refresh_occupancy(start_epoch - 1)
@@ -330,13 +333,18 @@ class Engine:
 
             # refresh the occupancy grid from the coarse MLP once the NeRF
             # stages are training it (first refresh replaces the all-occupied
-            # prior; later ones EMA-max into it)
+            # prior; later ones EMA-max into it).  The first refresh is gated
+            # on occ_warmup_steps of NeRF training: a grid derived from a
+            # barely-trained (DC-masked) coarse field mislocalizes the
+            # culling and can collapse the fine MLP to empty space it cannot
+            # recover from (reproduced at 96x96 scale; see config.py).
+            nerf_epochs_done = epoch + 1 - cfg.stages.cam_param_epochs
             if (
                 self._occ_train
                 and stage >= 1
-                and (epoch + 1 - cfg.stages.cam_param_epochs)
-                % cfg.nerf.occ_update_every
-                == 0
+                and nerf_epochs_done % cfg.nerf.occ_update_every == 0
+                and nerf_epochs_done * self.steps_per_epoch
+                >= cfg.nerf.occ_warmup_steps
             ):
                 self._refresh_occupancy(epoch)
                 data = data._replace(occ=self._occ2d)

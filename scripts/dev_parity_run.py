@@ -52,6 +52,12 @@ def main():
             fine_mode=os.environ.get("MC_NERF_TRAIN_FINE_MODE", "importance"),
             importance_samples=int(os.environ.get("MC_NERF_IMP_SAMPLES", "32")),
             use_pallas=(os.environ.get("MC_NERF_TRAIN_PALLAS") == "1") or None,
+            # grid-mode steps are ~2.5x slower than the importance default;
+            # 500-step programs then flirt with the platform's ~60 s
+            # execution watchdog — allow shrinking per run
+            max_steps_per_program=int(
+                os.environ.get("MC_NERF_MAX_STEPS_PER_PROGRAM", "500")
+            ),
         ),
         nerf=NerfConfig(
             occ_grid_size=int(os.environ.get("MC_NERF_OCC_GRID", "64")),

@@ -180,3 +180,36 @@ def test_engine_train_mode_demo_lazy_loads_test_images(scene_dir, tmp_path):
     assert engine.scene.test.images_u8 is not None
     assert result["count"] == 2
     assert np.isfinite(result["psnr"])
+
+
+def test_occ_warmup_defers_first_grid_refresh(scene_dir, tmp_path):
+    """The occupancy grid must stay at the all-occupied prior (uniform
+    sampling) until occ_warmup_steps of NeRF training have run: a grid
+    derived from a barely-trained coarse MLP mislocalizes culling and can
+    collapse the fine MLP to empty space it cannot recover from (the
+    softplus gradient vanishes) — reproduced at 96x96/12-cam scale."""
+    import dataclasses
+
+    cfg = small_cfg(scene_dir, str(tmp_path / "warm"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(cfg.nerf, occ_grid_size=8, occ_warmup_steps=10**6),
+        stages=StageConfig(cam_param_epochs=1, global_opt_epochs=2, fine_tune_epochs=0),
+    )
+    engine = Engine(cfg)
+    engine.train()
+    # warmup never satisfied -> grid never derived from the MLP
+    assert engine.occ_grid is None
+    assert float(np.asarray(engine._occ2d).min()) == 1.0  # all-occupied prior
+
+    cfg2 = cfg.replace(
+        nerf=dataclasses.replace(cfg.nerf, occ_grid_size=8, occ_warmup_steps=0),
+        paths=PathsConfig(
+            root_weights=os.path.join(str(tmp_path / "hot"), "weights"),
+            root_out=os.path.join(str(tmp_path / "hot"), "results"),
+            log_path=os.path.join(str(tmp_path / "hot"), "log"),
+            tb_path=os.path.join(str(tmp_path / "hot"), "tb"),
+        ),
+    )
+    engine2 = Engine(cfg2)
+    engine2.train()
+    assert engine2.occ_grid is not None  # refresh ran each NeRF epoch
