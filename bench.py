@@ -1,10 +1,13 @@
 """Benchmark: training rays/sec/chip on the reference hot path.
 
 Measures the canonical GLOBAL_OPTIM step (SURVEY.md §3.4) at the reference's
-exact workload shape — 7000 rays/step, 128 coarse samples, <= 130 fine
-samples/ray, coarse 4x128 / fine 8x256 MLPs, 800x800 images, intrinsic
-reprojection loss — on one chip, end to end (batch sampling, ray gen,
-render, loss, backward, RAdam update).
+workload scale — 7000 rays/step, coarse 4x128 / fine 8x256 MLPs, 800x800
+images, intrinsic reprojection loss — with the LIBRARY DEFAULT sampling
+config (occ48/imp32 as of round 3: occupancy-culled 48 coarse + 32
+importance fine samples/ray, the pair that won the multi-rig quality A/B —
+BASELINE.md), on one chip, end to end (batch sampling, ray gen, render,
+loss, backward, RAdam update).  The faster occ32/imp16 setting (~1.7x) is
+one config knob away; the bench reports what a default user gets.
 
 Baseline anchor: the reference publishes no numbers (BASELINE.md); the
 recommended setup is 2 GPUs x 7000 rays/step (ref README.md:55,
