@@ -134,6 +134,13 @@ def main() -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC_PER_CHIP, 3),
                 "anchor": ANCHOR_KIND,
+                "config": (
+                    f"occ{cfg.nerf.occ_coarse_samples}/"
+                    f"imp{cfg.train.importance_samples} (library default; "
+                    "round-3 default flipped occ32/imp16 -> occ48/imp32 on "
+                    "3-rig quality evidence — the faster occ32/imp16 "
+                    "measures ~1.7x higher, BASELINE.md)"
+                ),
             }
         )
     )
