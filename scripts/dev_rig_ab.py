@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = "/tmp/rig_ab"
-RIGS = {"array": 100, "room": 88}   # reference camera counts
+RIGS = {"array": 100, "room": 88, "halfball": 100}   # reference camera counts
 RES = 800
 N_TEST = 30
 CONFIGS = {
