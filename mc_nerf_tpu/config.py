@@ -183,6 +183,13 @@ class NerfConfig:
     # see TrainConfig.importance_samples for the multi-rig quality evidence
     occ_coarse_samples: int = 48     # coarse samples/ray under culling
     occ_dilate: bool = True          # 3^3 max-pool safety margin
+    # storage layout of the binary map fed to the per-ray probe — its row
+    # gather is the train step's largest single HBM op ([R, P, G] rows).
+    # "bfloat16" / "int8": one cell per lane (2 / 1 B); "bitpack": 32 z
+    # cells per uint32 lane, 16x less gather traffic than bf16.  All exact
+    # (values are {0,1}); A/B'd on-chip via scripts/dev_occ_probe_bench.py
+    # + dev_train_bench.py before flipping the default.
+    occ_map_dtype: str = "bfloat16"
 
     @property
     def samples_fine_grid(self) -> int:

@@ -128,7 +128,11 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
     cell by one voxel so boundary geometry is never starved.
 
     Returns:
-      [G*G, G] bfloat16 in {0, 1}; row = ix * G + iy, lane = iz.
+      per ``cfg.occ_map_dtype`` (row = ix * G + iy throughout; all layouts
+      are exact — values are {0, 1}):
+        * "bfloat16" / "int8": [G*G, G] with lane = iz;
+        * "bitpack": [G*G, G//32] uint32, z cell iz lives in word iz >> 5,
+          bit iz & 31 — 16x less probe-gather traffic than bf16.
     """
     g = grid.density.shape[0]
     # step = the spacing the culled coarse pass actually takes
@@ -141,10 +145,20 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
         occ = jax.lax.reduce_window(
             occ, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
         )
-    # bf16 storage: values are exactly {0, 1}, and the probe's row gather is
-    # the single largest HBM op in the train step ([R, P, G] rows — 114 MB
-    # at reference scale in f32); bf16 halves that traffic exactly
-    return occ.reshape(g * g, g).astype(jnp.bfloat16)
+    # storage layout: the probe's row gather is the single largest HBM op
+    # in the train step ([R, P, G] rows — 114 MB at reference scale in f32)
+    dt = cfg.occ_map_dtype
+    if dt in ("bfloat16", "int8"):
+        return occ.reshape(g * g, g).astype(jnp.dtype(dt))
+    if dt == "bitpack":
+        if g % 32:
+            raise ValueError(f"bitpack needs occ_grid_size % 32 == 0, got {g}")
+        bits = occ.reshape(g * g, g // 32, 32).astype(jnp.uint32)
+        weights = jnp.left_shift(
+            jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+        )
+        return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    raise ValueError(f"unknown occ_map_dtype: {dt!r}")
 
 
 def probe_occupancy(
@@ -157,25 +171,38 @@ def probe_occupancy(
 
     The lookup gathers whole z-rows (``jnp.take`` over the leading axis —
     the embedding-lookup form the TPU gather path vectorizes) and resolves
-    the z lane with a one-hot masked reduction; out-of-AABB points read 0.
+    the z lane with a one-hot masked reduction (bf16/int8 layouts) or a
+    word-select + shift/mask (bitpacked uint32 layout); out-of-AABB points
+    read 0.
 
     Args:
-      occ2d: [G*G, G] binary map from :func:`binary_grid`.
+      occ2d: binary map from :func:`binary_grid` (any of its layouts; the
+        bitpacked one is recognized by its uint32 dtype).
       lo, hi: AABB bounds.
       x: [..., 3] world points.
 
     Returns:
       [...] float32 occupancy in {0, 1}.
     """
-    g = occ2d.shape[-1]
+    bitpacked = occ2d.dtype == jnp.uint32
+    g = occ2d.shape[-1] * 32 if bitpacked else occ2d.shape[-1]
     u = (x - lo) / (hi - lo) * g                         # [..., 3] in voxel units
     idx = jnp.floor(u).astype(jnp.int32)
     inb = jnp.all((idx >= 0) & (idx < g), axis=-1)
     idx = jnp.clip(idx, 0, g - 1)
-    rows = jnp.take(occ2d, idx[..., 0] * g + idx[..., 1], axis=0)   # [..., G]
+    rows = jnp.take(occ2d, idx[..., 0] * g + idx[..., 1], axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-    zero = jnp.zeros((), rows.dtype)
-    val = jnp.sum(jnp.where(lane == idx[..., 2:3], rows, zero), axis=-1)
+    if bitpacked:
+        # rows: [..., G/32] uint32 words; select word iz >> 5, test bit iz & 31
+        word = jnp.sum(
+            jnp.where(lane == (idx[..., 2:3] >> 5), rows, jnp.uint32(0)),
+            axis=-1,
+        )
+        bit = jnp.right_shift(word, (idx[..., 2] & 31).astype(jnp.uint32))
+        val = bit & jnp.uint32(1)
+    else:
+        zero = jnp.zeros((), rows.dtype)
+        val = jnp.sum(jnp.where(lane == idx[..., 2:3], rows, zero), axis=-1)
     return val.astype(jnp.float32) * inb.astype(jnp.float32)
 
 

@@ -53,7 +53,8 @@ class TrainData(NamedTuple):
 
     images_u8: jnp.ndarray   # [N, H*W, 3] uint8 white-composited train images
     calib: CalibrationData
-    occ: Optional[jnp.ndarray] = None   # [G*G, G] bf16 binary occupancy
+    occ: Optional[jnp.ndarray] = None   # binary occupancy map (any
+    # ops/occupancy.binary_grid layout: [G*G, G] bf16/int8 or bitpacked u32)
 
 
 class TrainState(NamedTuple):

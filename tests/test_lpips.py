@@ -101,7 +101,9 @@ def test_make_lpips_weights_cli(tmp_path, rng):
     )
     r = subprocess.run(
         [_sys.executable, script, pt, "-o", out],
-        capture_output=True, text=True, timeout=120,
+        # generous: the subprocess pays a fresh torch import, and CI-like
+        # boxes can be single-core and contended (observed 120s expiry)
+        capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr
     model = lpips_jax.load(out)

@@ -79,6 +79,31 @@ def test_probe_occupancy_lookup_and_oob():
     np.testing.assert_array_equal(vals, [1.0, 0.0, 0.0, 0.0])
 
 
+def test_map_layouts_agree():
+    """bf16 / int8 / bitpacked maps are exact and probe identically."""
+    g = 32  # bitpack needs occ_grid_size % 32 == 0
+    grid = update_grid(None, _sphere_act, g, LO, HI, chunk=1024)
+    maps = {
+        dt: binary_grid(grid, NerfConfig(
+            occ_grid_size=g, occ_coarse_samples=16, occ_map_dtype=dt
+        ))
+        for dt in ("bfloat16", "int8", "bitpack")
+    }
+    assert maps["bfloat16"].shape == (g * g, g)
+    assert maps["int8"].shape == (g * g, g)
+    assert maps["bitpack"].shape == (g * g, g // 32)
+    assert maps["bitpack"].dtype == jnp.uint32
+    key = jax.random.PRNGKey(4)
+    pts = jax.random.uniform(key, (500, 3), jnp.float32, LO - 1.0, HI + 1.0)
+    ref = np.asarray(probe_occupancy(maps["bfloat16"], LO, HI, pts))
+    assert ref.sum() > 0 and ref.sum() < ref.size  # non-degenerate probe set
+    for dt in ("int8", "bitpack"):
+        np.testing.assert_array_equal(
+            np.asarray(probe_occupancy(maps[dt], LO, HI, pts)), ref,
+            err_msg=dt,
+        )
+
+
 def test_pmf_floor_and_shape():
     occ2d = jnp.zeros((G * G, G))  # all empty
     rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
