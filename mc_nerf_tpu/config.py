@@ -91,6 +91,12 @@ class TrainConfig:
     # occ24/imp12 budget collapsed on the Array rig (15.4 PSNR) and was
     # rejected.
     importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
+    # rematerialize the encode->MLP->shade passes in the backward instead
+    # of saving their activations (jax.checkpoint): trades ~1 extra forward
+    # of FLOPs for the per-layer activation HBM round trips that floor the
+    # bandwidth-bound train step (BASELINE.md round-3 profile).  Off until
+    # the on-chip A/B (scripts/dev_train_bench.py *+remat variants) wins.
+    remat_shade: bool = False
     # fused fwd+bwd MLP kernel for training; None resolves in
     # train/steps.py:make_loss_fn to the measured train-time winner —
     # currently False (XLA; the fused kernels reached parity, not victory,

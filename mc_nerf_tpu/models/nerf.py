@@ -148,6 +148,7 @@ def render_rays_train(
     use_pallas: bool = False,
     interpret: bool = False,
     occ: Optional[jnp.ndarray] = None,
+    remat_shade: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training render: coarse + hierarchical fine pass with sigma noise.
 
@@ -269,6 +270,13 @@ def render_rays_train(
             params.fine, cfg.fine_skips, xyz_t, basis, cfg, freq_w,
             compute_dtype,
         )
+
+    if remat_shade:
+        # recompute encode->MLP->shade in the backward instead of saving the
+        # wide per-layer activations (TrainConfig.remat_shade); closed-over
+        # params/rays are lifted by jax.checkpoint and still get gradients
+        shade_c = jax.checkpoint(shade_c)
+        shade_f = jax.checkpoint(shade_f)
 
     sigma_c, rgb_c = shade_c(z_c)
     out_c = composite(z_c, sigma_c, rgb_c, noise_key=kn_c, white_back=cfg.white_back)

@@ -177,6 +177,7 @@ def make_loss_fn(
             importance_samples=cfg.train.importance_samples,
             use_pallas=use_pallas,
             occ=data.occ,
+            remat_shade=cfg.train.remat_shade,
         )
         loss_c = rgb_loss(rgb_c, gt)
         loss_f = rgb_loss(rgb_f, gt)

@@ -106,6 +106,12 @@ def main():
                                dict(occ_coarse_samples=48, occ_map_dtype="int8")),
         "occ48/imp32+bitmap": (dict(fine_mode="importance", importance_samples=32, use_pallas=False),
                                dict(occ_coarse_samples=48, occ_map_dtype="bitpack")),
+        "occ32/imp16+remat":  (dict(fine_mode="importance", importance_samples=16, use_pallas=False,
+                                    remat_shade=True),
+                               dict(occ_coarse_samples=32)),
+        "occ48/imp32+remat":  (dict(fine_mode="importance", importance_samples=32, use_pallas=False,
+                                    remat_shade=True),
+                               dict(occ_coarse_samples=48)),
         "occ32/imp24+xla":    (dict(fine_mode="importance", importance_samples=24, use_pallas=False),
                                dict(occ_coarse_samples=32)),
         "occ24/imp12+xla":    (dict(fine_mode="importance", importance_samples=12, use_pallas=False),

@@ -240,3 +240,34 @@ def test_mlp_t_grads_match_untransposed(rng):
     np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
     for a, b in zip(jax.tree.leaves(gp_t), jax.tree.leaves(gp_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_remat_shade_grads_identical(rng):
+    """TrainConfig.remat_shade must be a pure perf knob: jax.checkpoint over
+    the shade closures recomputes the same ops, so gradients are bitwise
+    identical to the activation-saving path."""
+    from mc_nerf_tpu.config import NerfConfig
+    from mc_nerf_tpu.models.nerf import init_nerf_params, render_rays_train
+
+    cfg = NerfConfig(
+        emb_freqs_xyz=4, samples_coarse=16, occ_grid_size=0,
+        coarse_depth=2, coarse_width=16, coarse_skips=(1,),
+        fine_depth=2, fine_width=16, fine_skips=(1,),
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    rd = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = jnp.zeros((8, 3))
+
+    def loss(p, remat):
+        c, f = render_rays_train(
+            p, rd, ro, jax.random.PRNGKey(2), jnp.float32(0.5), cfg,
+            (0.1, 0.5), True, compute_dtype=jnp.float32,
+            fine_mode="importance", importance_samples=8, remat_shade=remat,
+        )
+        return jnp.sum(c**2) + jnp.sum(f**2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
