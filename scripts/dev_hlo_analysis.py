@@ -39,11 +39,17 @@ def shape_bytes(shape_str):
 
 def main():
     base = Config()
-    overrides = {}
+    overrides, nerf_overrides = {}, {}
     for kv in sys.argv[1:]:
         k, v = kv.split("=")
-        overrides[k] = eval(v)
-    cfg = base.replace(train=dataclasses.replace(base.train, **overrides))
+        if k.startswith("nerf."):  # e.g. nerf.occ_coarse_samples=32
+            nerf_overrides[k[5:]] = eval(v)
+        else:
+            overrides[k] = eval(v)
+    cfg = base.replace(
+        train=dataclasses.replace(base.train, **overrides),
+        nerf=dataclasses.replace(base.nerf, **nerf_overrides),
+    )
 
     state, data, epoch = setup(cfg)
     key = jax.random.PRNGKey(7)
