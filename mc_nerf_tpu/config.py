@@ -85,7 +85,8 @@ class TrainConfig:
     # 32 fine samples/ray: the occ48/imp32 pair won the round-3 multi-rig
     # A/B on every rig geometry at protocol-like schedules — Ball 52-epoch
     # protocol 27.01 vs 26.45 PSNR, Array 19.22 vs 18.08, Room 31.40 vs
-    # 29.41 (vs occ32/imp16; scripts/dev_rig_ab.py, BASELINE.md) — so the
+    # 29.41, HalfBall 27.72 vs 26.30
+    # (vs occ32/imp16; scripts/dev_rig_ab.py, BASELINE.md) — so the
     # default is the quality-sound pair.  occ32/imp16 remains the fast
     # setting (1.7x rays/s at a 0.5-2 dB cost depending on rig); the
     # occ24/imp12 budget collapsed on the Array rig (15.4 PSNR) and was
