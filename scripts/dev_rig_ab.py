@@ -29,13 +29,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = "/tmp/rig_ab"
-RIGS = {"array": 100, "room": 88, "halfball": 100}   # reference camera counts
+RIGS = {"array": 100, "room": 88, "halfball": 100, "ball": 110}  # ref cam counts
 RES = 800
 N_TEST = 30
 CONFIGS = {
-    "occ48_imp32": (48, 32),
-    "occ32_imp16": (32, 16),
-    "occ24_imp12": (24, 12),
+    # (occ_coarse_samples, importance_samples, occ_probes)
+    "occ48_imp32": (48, 32, 64),
+    "occ32_imp16": (32, 16, 64),
+    "occ24_imp12": (24, 12, 64),
+    # probes-halved candidate: -0.45 ms/step measured (BASELINE.md round-3
+    # "measured and rejected/held" list); adopted only if quality holds
+    # vs the probes-64 twin on the same rig+seed
+    "occ48_imp32_p32": (48, 32, 32),
 }
 
 
@@ -62,7 +67,7 @@ def run_one(rig: str, config: str) -> dict:
     )
     from mc_nerf_tpu.train.engine import Engine
 
-    occ_c, imp = CONFIGS[config]
+    occ_c, imp, probes = CONFIGS[config]
     out = os.path.join(ROOT, f"{rig}_{config}")
     cfg = Config(
         data_root=os.path.join(ROOT, "data"),
@@ -72,7 +77,7 @@ def run_one(rig: str, config: str) -> dict:
             rays_per_batch=7000, steps_per_image_epoch=50,
             importance_samples=imp,
         ),
-        nerf=NerfConfig(occ_coarse_samples=occ_c),
+        nerf=NerfConfig(occ_coarse_samples=occ_c, occ_probes=probes),
         eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=imp),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),
