@@ -133,6 +133,9 @@ def apply_nerf_mlp_t(
     h @ W[C:]`` — so the [P, C+W] skip concat never materializes either.
     The feature cotangent stays [C, P], flowing straight into the
     transposed encode's analytic VJP.
+
+    Unlike :func:`apply_nerf_mlp`, the returned ``sh`` keeps the compute
+    dtype (its consumer accumulates the SH contraction in fp32 itself).
     """
     ft = feat_t.astype(compute_dtype)
     c_dim = feat_t.shape[0]
@@ -153,4 +156,9 @@ def apply_nerf_mlp_t(
         return sigma.astype(jnp.float32), None
     c = jax.nn.relu(h @ params.sh_w0.astype(compute_dtype) + params.sh_b0.astype(compute_dtype))
     sh = c @ params.sh_w1.astype(compute_dtype) + params.sh_b1.astype(compute_dtype)
-    return sigma.astype(jnp.float32), sh.astype(jnp.float32)
+    # sh stays in the compute dtype: its only consumer is the SH contraction
+    # (nerf._shade), which multiplies the bf16-rounded GEMM output against the
+    # basis and accumulates in fp32 — the [P, 27] fp32 upcast here only added
+    # convert + reduce HBM traffic at train scale (exact fp32 mode unaffected:
+    # the dropped cast was a no-op there).
+    return sigma.astype(jnp.float32), sh

@@ -94,10 +94,17 @@ def _shade(
     # reshape-to-[r,s,3,nb] + einsum forced XLA into {1,0,3,2}-layout
     # reshapes costing ~1.2 ms/step at train scale; minor-dim splits +
     # a broadcasted multiply-reduce fuse into one kernel instead.
+    # The contraction runs in the compute dtype (sh arrives bf16 from the
+    # MLP) with fp32 accumulation — upcasting the [P, 27] sh tensor first
+    # only doubled the reduce's HBM read (BASELINE.md round-3 A/B).
     nb = (cfg.sh_deg + 1) ** 2
-    basis_ps = jnp.broadcast_to(basis[:, None, :], (r, s, nb)).reshape(r * s, nb)
+    basis_ps = jnp.broadcast_to(
+        basis.astype(sh.dtype)[:, None, :], (r, s, nb)
+    ).reshape(r * s, nb)
     sh3 = sh.reshape(r * s, 3, nb)
-    rgb_raw = jnp.sum(sh3 * basis_ps[:, None, :], axis=-1).reshape(r, s, 3)
+    rgb_raw = jnp.sum(
+        sh3 * basis_ps[:, None, :], axis=-1, dtype=jnp.float32
+    ).reshape(r, s, 3)
     return sigma, jax.nn.sigmoid(rgb_raw)
 
 
