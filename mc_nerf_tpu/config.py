@@ -330,6 +330,10 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                                   default=cfg.train.max_steps_per_program),
         prng_impl=get(sys_info, "train_params", "prng_impl",
                       default=cfg.train.prng_impl),
+        remat_shade=get(sys_info, "train_params", "remat_shade",
+                        default=cfg.train.remat_shade),
+        use_pallas=get(sys_info, "train_params", "use_pallas",
+                       default=cfg.train.use_pallas),
     )
     barf = BarfConfig(
         mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),
@@ -367,6 +371,7 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_probes=get(model, "nerf", "occ_probes", default=cfg.nerf.occ_probes),
         occ_coarse_samples=get(model, "nerf", "occ_coarse_samples", default=cfg.nerf.occ_coarse_samples),
         occ_dilate=get(model, "nerf", "occ_dilate", default=cfg.nerf.occ_dilate),
+        occ_map_dtype=get(model, "nerf", "occ_map_dtype", default=cfg.nerf.occ_map_dtype),
     )
     evalc = dataclasses.replace(
         cfg.eval,
@@ -379,6 +384,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                                default=cfg.eval.importance_samples),
         rays_per_chunk=get(sys_info, "test_params", "rays_per_chunk",
                            default=cfg.eval.rays_per_chunk),
+        use_pallas=get(sys_info, "test_params", "use_pallas",
+                       default=cfg.eval.use_pallas),
     )
     paths = dataclasses.replace(
         cfg.paths,

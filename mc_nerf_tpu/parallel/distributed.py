@@ -57,18 +57,41 @@ def initialize_distributed(
         return
     # auto mode: initialize only when a launcher/cluster environment is
     # detectable — never touch the distributed runtime on plain CLI runs.
-    if not any(os.environ.get(k) for k in _CLUSTER_ENV_HINTS):
+    # TPU runtimes (including this image's axon plugin) set
+    # TPU_WORKER_HOSTNAMES even for a single worker, so a one-entry list is
+    # NOT a cluster hint; everything else is.
+    hosts = [
+        h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        if h.strip()
+    ]
+    other_hints = any(
+        os.environ.get(k)
+        for k in _CLUSTER_ENV_HINTS
+        if k != "TPU_WORKER_HOSTNAMES"
+    )
+    if len(hosts) <= 1 and not other_hints:
         return
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized by the runtime
-    except RuntimeError:
-        pass
+    # initialize() must run BEFORE any backend-touching call: probing
+    # jax.process_count() first would itself initialize the XLA backend and
+    # guarantee the subsequent initialize() fails — silently degrading a
+    # real multi-host launch to N independent single-process runs.
     try:
         jax.distributed.initialize()
         _log_topology()
+        return
     except Exception as e:
-        logging.warning("jax.distributed auto-init failed (continuing single-process): %s", e)
+        err = e
+    # Failure can mean a launcher/runtime already initialized distributed
+    # (calling twice raises) — in that case the topology is already live.
+    try:
+        if jax.process_count() > 1:
+            _log_topology()
+            return
+    except Exception:
+        pass
+    logging.warning(
+        "jax.distributed auto-init failed (continuing single-process): %s", err
+    )
 
 
 def _log_topology() -> None:

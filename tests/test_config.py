@@ -105,6 +105,61 @@ def test_load_actual_reference_config():
     assert cfg.nerf.sh_dim == 27
 
 
+def test_extension_keys_loadable(tmp_path):
+    """Every extension knob is settable from YAML (docs/configuration.md)."""
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        """
+system:
+    train_params:
+        fine_mode: 'grid'
+        importance_samples: 24
+        max_steps_per_program: 100
+        prng_impl: 'rbg'
+        remat_shade: True
+        use_pallas: True
+    test_params:
+        fine_mode: 'grid'
+        importance_samples: 48
+        rays_per_chunk: 8192
+        use_pallas: False
+model:
+    nerf:
+        occ_grid_size: 32
+        occ_thresh: 0.02
+        occ_decay: 0.9
+        occ_update_every: 2
+        occ_warmup_steps: 500
+        occ_floor: 0.02
+        occ_probes: 32
+        occ_coarse_samples: 24
+        occ_dilate: False
+        occ_map_dtype: 'int8'
+"""
+    )
+    cfg = load_yaml(str(p))
+    assert cfg.train.fine_mode == "grid"
+    assert cfg.train.importance_samples == 24
+    assert cfg.train.max_steps_per_program == 100
+    assert cfg.train.prng_impl == "rbg"
+    assert cfg.train.remat_shade is True
+    assert cfg.train.use_pallas is True
+    assert cfg.eval.fine_mode == "grid"
+    assert cfg.eval.importance_samples == 48
+    assert cfg.eval.rays_per_chunk == 8192
+    assert cfg.eval.use_pallas is False
+    assert cfg.nerf.occ_grid_size == 32
+    assert cfg.nerf.occ_thresh == 0.02
+    assert cfg.nerf.occ_decay == 0.9
+    assert cfg.nerf.occ_update_every == 2
+    assert cfg.nerf.occ_warmup_steps == 500
+    assert cfg.nerf.occ_floor == 0.02
+    assert cfg.nerf.occ_probes == 32
+    assert cfg.nerf.occ_coarse_samples == 24
+    assert cfg.nerf.occ_dilate is False
+    assert cfg.nerf.occ_map_dtype == "int8"
+
+
 def test_stage_of_epoch():
     cfg = Config()
     assert cfg.stages.stage_of_epoch(0) == 0

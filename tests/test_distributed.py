@@ -47,6 +47,48 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_auto_init_ignores_single_worker_hostnames(monkeypatch):
+    """A one-entry TPU_WORKER_HOSTNAMES (set by single-chip TPU runtimes,
+    including this image's plugin) is not a cluster: auto mode must not
+    touch jax.distributed at all."""
+    import jax
+
+    from mc_nerf_tpu.parallel import distributed as dist
+
+    for k in dist._CLUSTER_ENV_HINTS:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **kw: calls.append((a, kw))
+    )
+    dist.initialize_distributed()
+    assert calls == []
+
+
+def test_auto_init_runs_before_backend_probe(monkeypatch):
+    """With a real multi-host hint, initialize() must be attempted BEFORE
+    any backend-initializing probe (jax.process_count would initialize the
+    XLA backend and make initialize() fail on a real cluster)."""
+    import jax
+
+    from mc_nerf_tpu.parallel import distributed as dist
+
+    for k in dist._CLUSTER_ENV_HINTS:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    order = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **kw: order.append("init")
+    )
+    monkeypatch.setattr(
+        dist.jax, "process_count", lambda: order.append("probe") or 1
+    )
+    monkeypatch.setattr(dist, "_log_topology", lambda: None)
+    dist.initialize_distributed()
+    assert order and order[0] == "init"
+
+
 @pytest.mark.slow
 def test_two_process_cluster(tmp_path):
     script = tmp_path / "worker.py"
