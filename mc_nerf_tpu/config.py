@@ -61,6 +61,12 @@ class TrainConfig:
     # (ref ``main.py:188-189``: gamma = (0.005/lr1)**(1/steps)).
     stage1_lr_floor: float = 0.005
     weight_decay: float = 4e-4
+    # global gradient-norm clip in every stage (extension — the reference
+    # never clips): the perspective divide (stage CAM_PARAM) and the
+    # self-normalized intr term (the NeRF stages) can both spike gradients
+    # by orders of magnitude in single steps.  0 disables (reference
+    # behavior); at norm 10 the clip rarely binds on healthy runs.
+    grad_clip: float = 10.0
     warmup_epoch: int = 100          # carried from the reference yaml (unused there too)
     rays_per_batch: int = 7000       # rays sampled per image per step (ref yaml `batch`)
     images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
@@ -334,6 +340,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                         default=cfg.train.remat_shade),
         use_pallas=get(sys_info, "train_params", "use_pallas",
                        default=cfg.train.use_pallas),
+        grad_clip=get(sys_info, "train_params", "grad_clip",
+                      default=cfg.train.grad_clip),
     )
     barf = BarfConfig(
         mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),

@@ -8,7 +8,13 @@
 // with the Python renderer (passed in at call time, single source of truth).
 //
 // Pipeline:
-//   1. global threshold (midpoint of min/max),
+//   1. adaptive tile threshold (libapriltag-style, ref data_read.py:181-187
+//      uses libapriltag whose threshold.c tiles the image, takes per-tile
+//      min/max over a 3x3 tile neighborhood, and midpoint-thresholds per
+//      tile): robust to the illumination gradients / noise / blur of real
+//      captures where one global midpoint fails.  Low-contrast tiles are
+//      SKIP for segmentation (no edges there) but receive a propagated
+//      threshold for value comparisons inside detected quads,
 //   2. connected components over dark pixels (iterative flood fill),
 //   3. convex hull of each component's border pixels (monotone chain),
 //   4. quad corner extraction + least-squares edge refinement (subpixel),
@@ -34,6 +40,120 @@ struct Pt {
 
 constexpr int kGrid = 8;   // black square is 8x8 cells
 constexpr int kData = 6;   // inner 6x6 data cells
+
+// Adaptive threshold tiling (see pipeline step 1 above).  kTile=16 px with
+// a 3x3-tile neighborhood gives a 48 px contrast window — small against an
+// 800x800 capture's illumination gradient, large against a tag edge.
+constexpr int kTile = 16;
+// minimum (neighborhood max - min) for a tile to contain usable black/white
+// structure; below this the tile is flat (pure background or the uniform
+// interior of a large black region) and is skipped for segmentation
+constexpr int kMinTileContrast = 24;
+
+// Per-tile threshold map.  `t` is the midpoint threshold, fully propagated
+// into low-contrast tiles (BFS from contrast-valid neighbors) so decode /
+// subpixel sampling has a threshold everywhere inside a quad; `valid` marks
+// tiles with local contrast — only their pixels can seed/join components.
+struct ThreshMap {
+  int th = 0, tw = 0;
+  std::vector<float> t;
+  std::vector<uint8_t> valid;
+
+  float tile_thresh(int x, int y) const {
+    return t[(size_t)(y / kTile) * tw + (x / kTile)];
+  }
+  bool tile_valid(int x, int y) const {
+    return valid[(size_t)(y / kTile) * tw + (x / kTile)] != 0;
+  }
+  // bilinear between tile centers: smooth threshold for subpixel work
+  float at(double x, double y) const {
+    double u = x / kTile - 0.5, v = y / kTile - 0.5;
+    u = u < 0 ? 0 : (u > tw - 1.001 ? tw - 1.001 : u);
+    v = v < 0 ? 0 : (v > th - 1.001 ? th - 1.001 : v);
+    int u0 = (int)u, v0 = (int)v;
+    double fu = u - u0, fv = v - v0;
+    const float* row0 = &t[(size_t)v0 * tw + u0];
+    const float* row1 = row0 + tw;
+    return (float)((row0[0] * (1 - fu) + row0[1] * fu) * (1 - fv) +
+                   (row1[0] * (1 - fu) + row1[1] * fu) * fv);
+  }
+};
+
+// Build the adaptive map.  Returns false when no tile has contrast (blank
+// image -> no tags).
+bool build_thresh_map(const uint8_t* gray, int h, int w, ThreshMap* m) {
+  const int tw = (w + kTile - 1) / kTile;
+  const int th = (h + kTile - 1) / kTile;
+  const size_t nt = (size_t)th * tw;
+  std::vector<uint8_t> tmin(nt, 255), tmax(nt, 0);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = gray + (size_t)y * w;
+    uint8_t* mnr = &tmin[(size_t)(y / kTile) * tw];
+    uint8_t* mxr = &tmax[(size_t)(y / kTile) * tw];
+    for (int x = 0; x < w; ++x) {
+      uint8_t v = row[x];
+      int tx = x / kTile;
+      if (v < mnr[tx]) mnr[tx] = v;
+      if (v > mxr[tx]) mxr[tx] = v;
+    }
+  }
+  m->th = th;
+  m->tw = tw;
+  m->t.assign(nt, 0.f);
+  m->valid.assign(nt, 0);
+  bool any = false;
+  for (int ty = 0; ty < th; ++ty) {
+    for (int tx = 0; tx < tw; ++tx) {
+      int nmin = 255, nmax = 0;
+      for (int dy = -1; dy <= 1; ++dy) {
+        int yy = ty + dy;
+        if (yy < 0 || yy >= th) continue;
+        for (int dx = -1; dx <= 1; ++dx) {
+          int xx = tx + dx;
+          if (xx < 0 || xx >= tw) continue;
+          size_t i = (size_t)yy * tw + xx;
+          if (tmin[i] < nmin) nmin = tmin[i];
+          if (tmax[i] > nmax) nmax = tmax[i];
+        }
+      }
+      size_t i = (size_t)ty * tw + tx;
+      if (nmax - nmin >= kMinTileContrast) {
+        m->t[i] = 0.5f * (nmin + nmax);
+        m->valid[i] = 1;
+        any = true;
+      }
+    }
+  }
+  if (!any) return false;
+  // propagate thresholds into contrast-free tiles (BFS rounds averaging
+  // filled 4-neighbors) so at() is defined everywhere
+  std::vector<uint8_t> filled(m->valid);
+  for (;;) {
+    bool progress = false, done = true;
+    std::vector<uint8_t> next(filled);
+    for (int ty = 0; ty < th; ++ty) {
+      for (int tx = 0; tx < tw; ++tx) {
+        size_t i = (size_t)ty * tw + tx;
+        if (filled[i]) continue;
+        done = false;
+        float sum = 0.f;
+        int n = 0;
+        if (tx > 0 && filled[i - 1]) { sum += m->t[i - 1]; ++n; }
+        if (tx + 1 < tw && filled[i + 1]) { sum += m->t[i + 1]; ++n; }
+        if (ty > 0 && filled[i - tw]) { sum += m->t[i - tw]; ++n; }
+        if (ty + 1 < th && filled[i + tw]) { sum += m->t[i + tw]; ++n; }
+        if (n) {
+          m->t[i] = sum / n;
+          next[i] = 1;
+          progress = true;
+        }
+      }
+    }
+    filled.swap(next);
+    if (done || !progress) break;
+  }
+  return true;
+}
 
 // ---------------------------------------------------------------- geometry
 
@@ -161,7 +281,8 @@ double bilinear(const uint8_t* g, int h, int w, double x, double y);
 // crossing along the edge normal by linear interpolation, and refit the
 // line through the crossings.  Brings corners from ~1 px (hull-based) to
 // ~0.1 px, comparable to libapriltag's refinement.
-void refine_subpixel(const uint8_t* gray, int h, int w, double thresh, Pt q[4]) {
+void refine_subpixel(const uint8_t* gray, int h, int w, const ThreshMap& tm,
+                     Pt q[4]) {
   double L[4][3];
   Pt qc{0.25 * (q[0].x + q[1].x + q[2].x + q[3].x),
         0.25 * (q[0].y + q[1].y + q[2].y + q[3].y)};
@@ -179,21 +300,24 @@ void refine_subpixel(const uint8_t* gray, int h, int w, double thresh, Pt q[4]) 
     for (int s = 0; s < kSamples; ++s) {
       double tt = 0.15 + 0.7 * s / (kSamples - 1);
       double px = a.x + tt * ex, py = a.y + tt * ey;
-      // scan from inside (black) to outside (white) for the crossing
-      double prev_v = bilinear(gray, h, w, px - 1.5 * nx, py - 1.5 * ny);
+      // scan from inside (black) to outside (white) for the crossing;
+      // each sample compares against the LOCAL adaptive threshold (an
+      // illumination gradient along the edge shifts the crossing level)
+      double pvx = px - 1.5 * nx, pvy = py - 1.5 * ny;
+      double prev_d = bilinear(gray, h, w, pvx, pvy) - tm.at(pvx, pvy);
       bool got = false;
       double cx = 0, cy = 0;
       for (double t = -1.25; t <= 2.01; t += 0.25) {
         double vx = px + t * nx, vy = py + t * ny;
-        double v = bilinear(gray, h, w, vx, vy);
-        if (prev_v < thresh && v >= thresh) {
-          double f = (thresh - prev_v) / (v - prev_v + 1e-12);
+        double d = bilinear(gray, h, w, vx, vy) - tm.at(vx, vy);
+        if (prev_d < 0 && d >= 0) {
+          double f = -prev_d / (d - prev_d + 1e-12);
           double tc = t - 0.25 + 0.25 * f;
           cx = px + tc * nx; cy = py + tc * ny;
           got = true;
           break;
         }
-        prev_v = v;
+        prev_d = d;
       }
       if (got && cx >= 1 && cx < w - 1 && cy >= 1 && cy < h - 1) {
         sx += cx; sy += cy; sxx += cx * cx; sxy += cx * cy; syy += cy * cy;
@@ -302,15 +426,19 @@ int mcn_detect_tags(const uint8_t* gray, int h, int w,
                     const uint64_t* codes, int n_codes, int max_hamming,
                     float* out, int max_out) {
   if (h < 8 || w < 8) return 0;
-  // 1. threshold
-  uint8_t lo = 255, hi = 0;
+  // 1. adaptive tile threshold (see ThreshMap above)
   const int64_t npix = (int64_t)h * w;
-  for (int64_t i = 0; i < npix; ++i) {
-    if (gray[i] < lo) lo = gray[i];
-    if (gray[i] > hi) hi = gray[i];
-  }
-  if (hi - lo < 30) return 0;  // no contrast, no tags
-  const double thresh = 0.5 * (lo + hi);
+  ThreshMap tm;
+  if (!build_thresh_map(gray, h, w, &tm)) return 0;  // no contrast, no tags
+  // dark = below the LOCAL threshold, in a tile that has contrast (flat
+  // tiles are skip: their pixels neither seed nor join components, which
+  // stops a dim background from fusing into one image-wide component under
+  // uneven lighting; a uniform black tag interior skipped this way only
+  // hollows the component — the convex hull is unaffected)
+  auto is_dark = [&](int x, int y) {
+    return tm.tile_valid(x, y) &&
+           gray[(size_t)y * w + x] < tm.tile_thresh(x, y);
+  };
 
   // 2. connected components over dark pixels
   std::vector<int32_t> label(npix, -1);
@@ -319,7 +447,8 @@ int mcn_detect_tags(const uint8_t* gray, int h, int w,
   int32_t next_label = 0;
 
   for (int64_t seed = 0; seed < npix; ++seed) {
-    if (label[seed] >= 0 || gray[seed] >= thresh) continue;
+    if (label[seed] >= 0 || !is_dark((int)(seed % w), (int)(seed / w)))
+      continue;
     const int32_t lab = next_label++;
     stack.clear();
     stack.push_back(seed);
@@ -342,7 +471,7 @@ int mcn_detect_tags(const uint8_t* gray, int h, int w,
         int nx = x + dx[k], ny = y + dy[k];
         if (nx < 0 || nx >= w || ny < 0 || ny >= h) continue;
         int64_t q = (int64_t)ny * w + nx;
-        if (gray[q] >= thresh) { is_border = true; continue; }
+        if (!is_dark(nx, ny)) { is_border = true; continue; }
         if (label[q] < 0) { label[q] = lab; stack.push_back(q); }
       }
       if (is_border) border.push_back({(double)x, (double)y});
@@ -357,7 +486,7 @@ int mcn_detect_tags(const uint8_t* gray, int h, int w,
     Pt q[4];
     quad_corners(hull, q);
     refine_quad(hull, q);
-    refine_subpixel(gray, h, w, thresh, q);
+    refine_subpixel(gray, h, w, tm, q);
 
     // 4. decode
     Homography H;
@@ -370,7 +499,7 @@ int mcn_detect_tags(const uint8_t* gray, int h, int w,
         Pt p = H.apply(c + 0.5, r + 0.5);
         if (p.x < -2 || p.x > w + 1 || p.y < -2 || p.y > h + 1) { sample_ok = false; break; }
         double v = bilinear(gray, h, w, p.x, p.y);
-        bool white = v >= thresh;
+        bool white = v >= tm.at(p.x, p.y);
         if (r == 0 || r == kGrid - 1 || c == 0 || c == kGrid - 1) {
           ++border_total;
           if (!white) ++border_black;

@@ -89,6 +89,17 @@ def initialize_distributed(
             return
     except Exception:
         pass
+    if len(hosts) > 1:
+        # A multi-entry TPU_WORKER_HOSTNAMES is a *strong* multi-host signal:
+        # continuing here would silently degrade a real pod-slice launch to N
+        # independent single-process runs (each training alone and
+        # overwriting the others' checkpoints).  Fail loudly instead.
+        raise RuntimeError(
+            f"jax.distributed auto-init failed on a {len(hosts)}-host cluster "
+            f"(TPU_WORKER_HOSTNAMES={os.environ.get('TPU_WORKER_HOSTNAMES')!r}) "
+            "and the process topology is still single-process — refusing to "
+            "degrade a multi-host launch to independent single-process runs"
+        ) from err
     logging.warning(
         "jax.distributed auto-init failed (continuing single-process): %s", err
     )

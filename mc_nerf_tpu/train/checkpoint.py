@@ -25,8 +25,56 @@ def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.Checkpoint
     )
 
 
+class Checkpointer:
+    """One orbax ``CheckpointManager`` for an :class:`Engine`'s lifetime.
+
+    ``save`` is asynchronous: orbax snapshots the device arrays to host and
+    returns, so the next epoch's scan overlaps the disk write (the reference
+    blocks its epoch loop on ``torch.save``, ``model/mc_nerf.py:738-752``).
+    ``restore``/``latest_epoch`` first drain any in-flight save so a
+    train-then-demo process never reads a half-written step.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        self._dir = ckpt_dir
+        self._mgr: Optional[ocp.CheckpointManager] = None
+
+    def _manager(self) -> ocp.CheckpointManager:
+        if self._mgr is None:
+            self._mgr = _manager(self._dir)
+        return self._mgr
+
+    def save(self, epoch: int, state: TrainState) -> None:
+        """Schedule one checkpoint write (rank-0 only under multi-process)."""
+        self._manager().save(epoch, args=ocp.args.StandardSave(state))
+
+    def latest_epoch(self) -> Optional[int]:
+        if self._mgr is None and not os.path.isdir(self._dir):
+            return None
+        mgr = self._manager()
+        mgr.wait_until_finished()
+        return mgr.latest_step()
+
+    def restore(
+        self, template: TrainState, epoch: Optional[int] = None
+    ) -> tuple[TrainState, int]:
+        mgr = self._manager()
+        mgr.wait_until_finished()
+        return _restore_with(mgr, self._dir, template, epoch)
+
+    def wait(self) -> None:
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+            self._mgr.close()
+            self._mgr = None
+
+
 def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState) -> None:
-    """Write one checkpoint per epoch (rank-0 only under multi-process)."""
+    """One-shot synchronous save (scripts/tests; the engine uses Checkpointer)."""
     mgr = _manager(ckpt_dir)
     mgr.save(epoch, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
@@ -73,6 +121,17 @@ def restore_checkpoint(
     Returns (state, epoch_restored).
     """
     mgr = _manager(ckpt_dir)
+    result = _restore_with(mgr, ckpt_dir, template, epoch)
+    mgr.close()
+    return result
+
+
+def _restore_with(
+    mgr: ocp.CheckpointManager,
+    ckpt_dir: str,
+    template: TrainState,
+    epoch: Optional[int],
+) -> tuple[TrainState, int]:
     step = epoch if epoch is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
@@ -93,5 +152,4 @@ def restore_checkpoint(
             "parameters + step only, optimizer states re-initialized",
             ckpt_dir, step,
         )
-    mgr.close()
     return state, step

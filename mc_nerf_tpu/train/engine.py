@@ -127,6 +127,9 @@ class Engine:
         self.ckpt_dir = os.path.join(
             cfg.paths.root_weights, "train", f"{cfg.data_name}"
         )
+        # one manager for the Engine's lifetime; per-epoch saves are async
+        # (the manager is created lazily on first use inside Checkpointer)
+        self.ckpt = ckpt_lib.Checkpointer(self.ckpt_dir)
         self.writer = ScalarWriter(
             os.path.join(cfg.paths.tb_path, cfg.data_name),
             delete_old=cfg.paths.tb_delete_old,
@@ -274,11 +277,9 @@ class Engine:
         data = self._train_data()
         start_epoch = 0
         if resume:
-            last = ckpt_lib.latest_epoch(self.ckpt_dir)
+            last = self.ckpt.latest_epoch()
             if last is not None:
-                self.state, start_epoch = ckpt_lib.restore_checkpoint(
-                    self.ckpt_dir, self.state, last
-                )
+                self.state, start_epoch = self.ckpt.restore(self.state, last)
                 start_epoch += 1
                 logging.info("Resumed from epoch %d", start_epoch - 1)
 
@@ -350,17 +351,18 @@ class Engine:
                 data = data._replace(occ=self._occ2d)
 
             if is_main_process():
-                ckpt_lib.save_checkpoint(self.ckpt_dir, epoch, self.state)
+                self.ckpt.save(epoch, self.state)  # async; drained at train end
                 self._report_cameras(epoch)
                 if stage > 0:
                     self._validate(epoch)
+        self.ckpt.wait()
         self.writer.close()
         return self.state
 
     def _maybe_restart_cameras(self, data: TrainData, epoch: int) -> None:
         """Monotone camera-pose improvement between stage-0 epochs
-        (candidate adoption: current vs analytic PnP vs structured random —
-        see train/restarts.py)."""
+        (candidate adoption: current params vs the deterministic joint
+        focal x planar-PnP sweep — see train/restarts.py)."""
         from mc_nerf_tpu.train.restarts import improve_cameras
 
         rk = jax.random.fold_in(
@@ -462,9 +464,7 @@ class Engine:
         cfg = self.cfg
         if ckpt_epoch is None:
             ckpt_epoch = _parse_demo_ckpt(cfg.eval.demo_ckpt)
-        self.state, epoch = ckpt_lib.restore_checkpoint(
-            self.ckpt_dir, self.state, ckpt_epoch
-        )
+        self.state, epoch = self.ckpt.restore(self.state, ckpt_epoch)
         logging.info("Loaded checkpoint epoch %d", epoch)
         test = self.scene.test
         if test.images_u8 is None:
@@ -475,12 +475,26 @@ class Engine:
             self.scene.test = test
         render = self._render_fn(test.img_h, test.img_w)
         occ = None
-        if self._occ_eval:
+        # warmup guard (mirrors the train-side occ_warmup_steps gating at
+        # engine.py::train): a grid derived from a checkpoint whose coarse
+        # MLP has fewer than occ_warmup_steps of NeRF training mislocalizes
+        # the culling (stage-0 ckpts have an *untrained* coarse field and
+        # would render white) — render those checkpoints unculled instead.
+        nerf_steps_at_ckpt = (
+            epoch + 1 - cfg.stages.cam_param_epochs
+        ) * self.steps_per_epoch
+        if self._occ_eval and nerf_steps_at_ckpt >= cfg.nerf.occ_warmup_steps:
             # derive the occupancy map from the restored coarse MLP (the
             # grid is never checkpointed; one lattice eval rebuilds it)
             self.occ_grid = None
             self._refresh_occupancy(epoch)
             occ = self._occ2d
+        elif self._occ_eval:
+            logging.info(
+                "demo checkpoint (epoch %d) predates occ_warmup_steps=%d "
+                "(%d NeRF steps trained) — rendering without occupancy culling",
+                epoch, cfg.nerf.occ_warmup_steps, max(0, nerf_steps_at_ckpt),
+            )
 
         stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
         base = os.path.join(cfg.paths.render_dir + "_" + stamp)

@@ -166,14 +166,15 @@ def build_optimizers(
     opts = []
     states = []
     for stage in range(3):
-        # clip in every stage: the perspective divide (stage 0) and the
-        # self-normalized intr term (stages 1-2) can both spike gradients
-        # by orders of magnitude in single steps
+        # clip in every stage (cfg.train.grad_clip; 0 = off = reference
+        # behavior): the perspective divide (CAM_PARAM) and the
+        # self-normalized intr term (the NeRF stages) can both spike
+        # gradients by orders of magnitude in single steps
         tx = FlatRAdam(
             mask=stage_mask(params, stage),
             lr=lrs[stage],
             weight_decay=tc.weight_decay,
-            clip=10.0,
+            clip=tc.grad_clip,
         )
         opts.append(tx)
         states.append(tx.init(p_flat))

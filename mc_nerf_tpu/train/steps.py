@@ -149,10 +149,11 @@ def make_loss_fn(
     barf_window = cfg.barf.global_window(cfg.stages)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     zero = jnp.zeros(())
-    # default OFF for training: at the reference's 7000-ray step the fused
-    # fwd+bwd kernels run ~2.2x faster than XLA's MLP (20 vs 45 ms/step) but
-    # the custom-call boundary glue gives XLA the overall win (96k vs 87k
-    # rays/s measured, v5e).  Eval keeps the kernels (clear win there).
+    # default OFF for training: re-measured after the round-3 layout work —
+    # fused path 17.0 vs XLA 14.1 ms/step at occ32/imp16 (v5e); the fused
+    # backward kernel's blockwise remat runs ~2x XLA's backward GEMMs at
+    # this geometry, so the loss is structural (BASELINE.md round-3
+    # attribution).  Eval keeps the kernels (clear win there).
     use_pallas = cfg.train.use_pallas
     if use_pallas is None:
         use_pallas = False

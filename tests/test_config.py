@@ -118,6 +118,7 @@ system:
         prng_impl: 'rbg'
         remat_shade: True
         use_pallas: True
+        grad_clip: 5.0
     test_params:
         fine_mode: 'grid'
         importance_samples: 48
@@ -144,6 +145,7 @@ model:
     assert cfg.train.prng_impl == "rbg"
     assert cfg.train.remat_shade is True
     assert cfg.train.use_pallas is True
+    assert cfg.train.grad_clip == 5.0
     assert cfg.eval.fine_mode == "grid"
     assert cfg.eval.importance_samples == 48
     assert cfg.eval.rays_per_chunk == 8192

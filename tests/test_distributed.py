@@ -89,6 +89,51 @@ def test_auto_init_runs_before_backend_probe(monkeypatch):
     assert order and order[0] == "init"
 
 
+def test_auto_init_raises_on_multihost_failure(monkeypatch):
+    """A genuine initialize() failure on a multi-entry TPU_WORKER_HOSTNAMES
+    cluster must raise, not silently degrade to N independent
+    single-process runs (each would train alone and clobber the others'
+    checkpoints)."""
+    import jax
+
+    from mc_nerf_tpu.parallel import distributed as dist
+
+    for k in dist._CLUSTER_ENV_HINTS:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+
+    def fail(*a, **kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 1)
+    with pytest.raises(RuntimeError, match="multi-host"):
+        dist.initialize_distributed()
+
+
+def test_auto_init_warns_on_weak_hint_failure(monkeypatch, caplog):
+    """A weak hint (e.g. SLURM_JOB_ID set on a single-node allocation) may
+    legitimately fail to form a cluster — that stays a warning."""
+    import logging as _logging
+
+    import jax
+
+    from mc_nerf_tpu.parallel import distributed as dist
+
+    for k in dist._CLUSTER_ENV_HINTS:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+
+    def fail(*a, **kw):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 1)
+    with caplog.at_level(_logging.WARNING):
+        dist.initialize_distributed()  # must not raise
+    assert any("auto-init failed" in r.message for r in caplog.records)
+
+
 @pytest.mark.slow
 def test_two_process_cluster(tmp_path):
     script = tmp_path / "worker.py"

@@ -182,6 +182,36 @@ def test_engine_train_mode_demo_lazy_loads_test_images(scene_dir, tmp_path):
     assert np.isfinite(result["psnr"])
 
 
+def test_demo_early_checkpoint_skips_occupancy(scene_dir, tmp_path):
+    """Demo of a checkpoint with fewer than occ_warmup_steps of NeRF
+    training must render UNCULLED: deriving the grid from a near-untrained
+    coarse MLP is exactly the mislocalized-culling state the train-side
+    warmup gate exists for (a stage-0 ckpt would render white)."""
+    import dataclasses
+
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(cfg.nerf, occ_grid_size=8, occ_warmup_steps=10**6),
+    )
+    Engine(cfg).train()
+
+    # stage-0 (CAM_PARAM) checkpoint: zero NeRF steps trained
+    engine2 = Engine(cfg.replace(mode=1))
+    result = engine2.demo(ckpt_epoch=0)
+    assert engine2.occ_grid is None  # guard: no grid derived from the MLP
+    assert np.isfinite(result["psnr"])
+
+    # warmup satisfied -> demo derives the grid as before
+    cfg3 = cfg.replace(
+        mode=1,
+        nerf=dataclasses.replace(cfg.nerf, occ_grid_size=8, occ_warmup_steps=0),
+    )
+    engine3 = Engine(cfg3)
+    result3 = engine3.demo()  # latest checkpoint: 2 NeRF epochs trained
+    assert engine3.occ_grid is not None
+    assert np.isfinite(result3["psnr"])
+
+
 def test_occ_warmup_defers_first_grid_refresh(scene_dir, tmp_path):
     """The occupancy grid must stay at the all-occupied prior (uniform
     sampling) until occ_warmup_steps of NeRF training have run: a grid
