@@ -196,6 +196,15 @@ class NerfConfig:
     # see TrainConfig.importance_samples for the multi-rig quality evidence
     occ_coarse_samples: int = 48     # coarse samples/ray under culling
     occ_dilate: bool = True          # 3^3 max-pool safety margin
+    # coarse-free rendering (extension; NGP-era sampling): with a mature
+    # occupancy grid the 4x128 coarse MLP is a proposal distribution the
+    # grid already provides — draw the fine samples directly from the
+    # occupancy PMF and skip the coarse pass entirely (train AND eval).
+    # The grid then refreshes from the FINE MLP's density; the coarse MLP
+    # never trains and the rgb_c loss term is dropped.  Requires
+    # occ_grid_size > 0 and fine_mode="importance".  Quality/throughput
+    # evidence: BASELINE.md round-4 coarse-free A/B.
+    coarse_free: bool = False
     # storage layout of the binary map fed to the per-ray probe — its row
     # gather is the train step's largest single HBM op ([R, P, G] rows).
     # "bfloat16" / "int8": one cell per lane (2 / 1 B); "bitpack": 32 z
@@ -380,6 +389,7 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_coarse_samples=get(model, "nerf", "occ_coarse_samples", default=cfg.nerf.occ_coarse_samples),
         occ_dilate=get(model, "nerf", "occ_dilate", default=cfg.nerf.occ_dilate),
         occ_map_dtype=get(model, "nerf", "occ_map_dtype", default=cfg.nerf.occ_map_dtype),
+        coarse_free=get(model, "nerf", "coarse_free", default=cfg.nerf.coarse_free),
     )
     evalc = dataclasses.replace(
         cfg.eval,

@@ -156,7 +156,8 @@ def render_rays_train(
     interpret: bool = False,
     occ: Optional[jnp.ndarray] = None,
     remat_shade: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    coarse_free: bool = False,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Training render: coarse + hierarchical fine pass with sigma noise.
 
     Mirrors ref ``render_rays_train`` (mc_nerf.py:598-646):
@@ -176,11 +177,67 @@ def render_rays_train(
     occupancy PMF instead of walking the uniform grid — empty space is
     never shaded.  An all-occupied map reproduces the uniform behavior.
 
-    Returns (rgb_coarse [R,3], rgb_fine [R,3]).
+    ``coarse_free=True`` (requires ``occ``; ``cfg.coarse_free``) drops the
+    coarse MLP entirely: the fine depths are drawn straight from the
+    occupancy PMF (the grid IS the proposal, NGP-style) and only the fine
+    pass is shaded.  Returns ``(None, rgb_fine)`` — the caller drops the
+    coarse loss term.
+
+    Returns (rgb_coarse [R,3] or None, rgb_fine [R,3]).
     """
     kj, kn_c, kn_sel, kn_pdf, kn_f = jax.random.split(key, 5)
     n_rays = rays_d.shape[0]
     sc = cfg.samples_coarse
+
+    if coarse_free:
+        if occ is None or fine_mode != "importance":
+            raise ValueError(
+                "coarse_free requires an occupancy map and fine_mode='importance'"
+            )
+        freq_w = (
+            barf_weights(cfg.emb_freqs_xyz, step_r, barf_window[0], barf_window[1])
+            if barf_on
+            else None
+        )
+        basis = sh_basis(cfg.sh_deg, rays_d)
+        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_f = jnp.clip(
+            sample_pdf(z_probe, pmf, importance_samples, key=kn_pdf),
+            cfg.near, cfg.far,
+        )                                                           # [R, K]
+        if use_pallas:
+            nb = (cfg.sh_deg + 1) ** 2
+            basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+            packed_f = pack_mlp_params(
+                params.fine, cfg.emb_freqs_xyz, cfg.fine_skips, dtype=jnp.float32
+            )
+            feat_f = encode_kernel_order(
+                (rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]).reshape(-1, 3),
+                cfg.emb_freqs_xyz, freq_w,
+            )
+            noise_f = jax.random.normal(kn_f, z_f.shape)
+            ray_f, _ = fused_render(
+                packed_f, feat_f, basis16, z_f, noise_f, None,
+                cfg.fine_depth, tuple(cfg.fine_skips), importance_samples, nb,
+                True, False, cfg.white_back, interpret,
+            )
+            return None, ray_f[:, :3]
+        xyz_t = rays_o.T[:, :, None] + rays_d.T[:, :, None] * z_f[None, :, :]
+
+        def shade_cf(xt):
+            return _shade(
+                params.fine, cfg.fine_skips, xt, basis, cfg, freq_w,
+                compute_dtype,
+            )
+
+        if remat_shade:
+            shade_cf = jax.checkpoint(shade_cf)
+        sigma_f, rgb_f = shade_cf(xyz_t)
+        out_f = composite(
+            z_f, sigma_f, rgb_f, noise_key=kn_f, white_back=cfg.white_back,
+            last_inf=True,
+        )
+        return None, out_f.rgb
 
     if occ is not None:
         if fine_mode != "importance":
@@ -375,6 +432,7 @@ def render_rays_eval(
     packed: Optional[Tuple[PackedMLP, PackedMLP]] = None,
     interpret: bool = False,
     occ: Optional[jnp.ndarray] = None,
+    coarse_free: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eval render: no jitter, no sigma noise (ref ``render_rays_test``).
 
@@ -395,6 +453,41 @@ def render_rays_eval(
     """
     n_rays = rays_d.shape[0]
     sc = cfg.samples_coarse
+    if coarse_free:
+        # fine samples straight from the occupancy PMF; no coarse pass at
+        # all (mirrors the train-side coarse_free branch)
+        if occ is None or fine_mode != "importance":
+            raise ValueError(
+                "coarse_free requires an occupancy map and fine_mode='importance'"
+            )
+        basis = sh_basis(cfg.sh_deg, rays_d)
+        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_f = jnp.clip(
+            sample_pdf(z_probe, pmf, importance_samples), cfg.near, cfg.far
+        )
+        if packed is not None:
+            nb = (cfg.sh_deg + 1) ** 2
+            basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))
+            xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_f[..., None]
+            feat_f = encode_kernel_order(
+                xyz_f.reshape(-1, 3), cfg.emb_freqs_xyz, None
+            )
+            ray_f, _ = fused_render(
+                packed[1], feat_f, basis16, z_f, None, None,
+                cfg.fine_depth, tuple(cfg.fine_skips), importance_samples, nb,
+                False, False, cfg.white_back, interpret,
+            )
+            return ray_f[:, :3], ray_f[:, 3:4], ray_f[:, 4:5]
+        xyz_t = rays_o.T[:, :, None] + rays_d.T[:, :, None] * z_f[None, :, :]
+        sigma_f, rgb_f = _shade(
+            params.fine, cfg.fine_skips, xyz_t, basis, cfg, None, compute_dtype
+        )
+        out = composite(
+            z_f, sigma_f, rgb_f, noise_key=None, white_back=cfg.white_back,
+            last_inf=True,
+        )
+        return out.rgb, out.depth, out.opacity
+
     if occ is not None:
         if fine_mode != "importance":
             raise ValueError("occupancy culling requires fine_mode='importance'")

@@ -91,6 +91,16 @@ def _parse_demo_ckpt(name: str) -> Optional[int]:
 class Engine:
     def __init__(self, cfg: Config, scene: Optional[Scene] = None):
         self.cfg = cfg
+        if cfg.nerf.coarse_free and (
+            cfg.nerf.occ_grid_size <= 0
+            or cfg.train.fine_mode != "importance"
+            or cfg.eval.fine_mode != "importance"
+        ):
+            raise ValueError(
+                "nerf.coarse_free requires occ_grid_size > 0 and "
+                "fine_mode='importance' for both train and eval — the "
+                "occupancy grid is the sole sampling proposal in this mode"
+            )
         setup_logging(cfg.paths.log_path, cfg.log_to_file)
         logging.info("Loading scene: %s", cfg.scene_dir)
         self.scene = scene or load_scene(cfg.scene_dir, load_test_images=(cfg.mode == 1))
@@ -101,6 +111,17 @@ class Engine:
         n_dev = cfg.parallel.data_parallel or len(jax.devices())
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.n_devices = n_dev if self.mesh is not None else 1
+        # rendering (validation/demo) is an IO/observability path entered
+        # only by rank 0 — under multi-process it must NOT be a program over
+        # the global mesh (a collective program entered by one process
+        # deadlocks); render over this process's local devices instead
+        if jax.process_count() > 1:
+            local = jax.local_devices()
+            self.render_mesh = (
+                make_mesh(len(local), devices=local) if len(local) > 1 else None
+            )
+        else:
+            self.render_mesh = self.mesh
 
         # steps per epoch: ref expands the dataset 50x and walks it once per
         # epoch per rank (data_read.py:286-297); with B images/step globally
@@ -146,6 +167,41 @@ class Engine:
         self._occ2d = None          # current binary map fed to train/eval
         self._grid_refresh = None   # cached jitted refresh fns
 
+    # ------------------------------------------------------------ multi-process
+
+    def _to_global(self, tree):
+        """Replicate a pytree onto the GLOBAL device mesh (multi-process).
+
+        Without this, a multi-process launch silently degrades: each
+        process's host-local arrays commit the epoch program to its own
+        single device, the mesh sharding constraints are unsatisfiable, and
+        every process redundantly computes the full batch alone (found by
+        ``tests/test_multiprocess_train.py``).  Global replicated inputs
+        make the epoch one SPMD program over all processes' devices — and
+        are also what orbax requires to serialize under multihost.
+
+        No-op single-process (committed single-device arrays are already
+        correct there).
+        """
+        if self.mesh is None or jax.process_count() == 1:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            tree,
+        )
+
+    def _to_local(self, tree):
+        """Host-local copy of a (fully replicated) pytree — for the
+        rank-0-only local-mesh render paths under multi-process."""
+        if jax.process_count() == 1:
+            return tree
+        return jax.tree.map(lambda x: np.asarray(x), tree)
+
     # -------------------------------------------------------------- occupancy
 
     @property
@@ -163,16 +219,20 @@ class Engine:
         )
 
     def _grid_refresh_fns(self):
-        """(ema_refresh, fresh_refresh) jitted closures over the config."""
+        """(ema_refresh, fresh_refresh) jitted closures over the config.
+
+        Coarse-free mode derives the grid from the FINE MLP — the coarse
+        MLP never trains there (nerf.py render_rays_train coarse_free)."""
         if self._grid_refresh is None:
             nc = self.cfg.nerf
             cd = jnp.dtype(self.cfg.compute_dtype)
+            skips = nc.fine_skips if nc.coarse_free else nc.coarse_skips
 
-            def refresh(coarse_params, prev_density, key):
+            def refresh(mlp_params, prev_density, key):
                 def act(pts):
                     enc = sincos_encode(pts, nc.emb_freqs_xyz, None)
                     sigma, _ = apply_nerf_mlp(
-                        coarse_params, enc, nc.coarse_skips, cd, sigma_only=True
+                        mlp_params, enc, skips, cd, sigma_only=True
                     )
                     return jax.nn.softplus(sigma.reshape(-1))
 
@@ -190,14 +250,16 @@ class Engine:
         return self._grid_refresh
 
     def _refresh_occupancy(self, epoch: int) -> None:
-        """Refresh the EMA grid + binary map from the current coarse MLP."""
+        """Refresh the EMA grid + binary map from the density MLP (coarse,
+        or fine under coarse_free)."""
         ema, fresh = self._grid_refresh_fns()
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.train.seed ^ 0x0CC), epoch)
-        coarse = self.state.params.nerf.coarse
+        nerf = self.state.params.nerf
+        mlp = nerf.fine if self.cfg.nerf.coarse_free else nerf.coarse
         if self.occ_grid is None:
-            density, occ2d = fresh(coarse, key)
+            density, occ2d = fresh(mlp, key)
         else:
-            density, occ2d = ema(coarse, self.occ_grid.density, key)
+            density, occ2d = ema(mlp, self.occ_grid.density, key)
         self.occ_grid = OccupancyGrid(density)
         self._occ2d = occ2d
 
@@ -211,7 +273,16 @@ class Engine:
         # No-op when the cache already exists (synthetic scenes ship one).
         from mc_nerf_tpu.data.calibration import build_calibration_cache
 
-        build_calibration_cache(self.cfg.scene_dir)
+        if jax.process_count() > 1:
+            # one writer, everyone waits: concurrent detector runs would
+            # race on the cache file across processes sharing a filesystem
+            if is_main_process():
+                build_calibration_cache(self.cfg.scene_dir)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mcn_calib_cache")
+        else:
+            build_calibration_cache(self.cfg.scene_dir)
         calib = load_calibration(self.cfg.scene_dir, self.cfg.apriltag_size)
         return TrainData(images_u8=jnp.asarray(imgs), calib=calib)
 
@@ -268,13 +339,18 @@ class Engine:
         key = (img_h, img_w)
         if key not in self._render_fns:
             self._render_fns[key] = make_render_fn(
-                self.cfg, img_h, img_w, mesh=self.mesh
+                self.cfg, img_h, img_w, mesh=self.render_mesh
             )
         return self._render_fns[key]
 
     def train(self, resume: bool = False) -> TrainState:
         cfg = self.cfg
         data = self._train_data()
+        # multi-process: state + scene tensors become global replicated
+        # arrays over the full mesh (one SPMD program, orbax-serializable);
+        # doing it before any restore makes the restore template global too
+        self.state = self._to_global(self.state)
+        data = self._to_global(data)
         start_epoch = 0
         if resume:
             last = self.ckpt.latest_epoch()
@@ -350,8 +426,11 @@ class Engine:
                 self._refresh_occupancy(epoch)
                 data = data._replace(occ=self._occ2d)
 
+            # orbax coordinates multihost writes itself — under multi-process
+            # EVERY process must enter save() (rank-gating a collective
+            # checkpoint write deadlocks); single-process is unaffected
+            self.ckpt.save(epoch, self.state)  # async; drained at train end
             if is_main_process():
-                self.ckpt.save(epoch, self.state)  # async; drained at train end
                 self._report_cameras(epoch)
                 if stage > 0:
                     self._validate(epoch)
@@ -419,11 +498,14 @@ class Engine:
         idx = epoch % val.count
         render = self._render_fn(val.img_h, val.img_w)
         occ = self._occ2d if self._occ_eval else None
+        # local copies under multi-process: the render program runs on this
+        # process's devices only (render_mesh), so its inputs must not be
+        # committed to the global mesh
         rgb, depth, _ = render(
-            self.state.params.nerf,
+            self._to_local(self.state.params.nerf),
             jnp.asarray(val.poses_w2c[idx]),
             jnp.asarray(val.K[idx]),
-            occ,
+            None if occ is None else self._to_local(occ),
         )
         pred = np.asarray(rgb)
         gt = val.images_u8[idx].astype(np.float32) / 255.0
@@ -495,6 +577,11 @@ class Engine:
                 "(%d NeRF steps trained) — rendering without occupancy culling",
                 epoch, cfg.nerf.occ_warmup_steps, max(0, nerf_steps_at_ckpt),
             )
+            if cfg.nerf.coarse_free:
+                # coarse-free cannot render occ-less (the grid IS the
+                # sampling proposal): fall back to the all-occupied prior
+                # (= uniform sampling), the same state train-side warmup uses
+                occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
 
         stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
         base = os.path.join(cfg.paths.render_dir + "_" + stamp)
@@ -503,12 +590,15 @@ class Engine:
             os.makedirs(d, exist_ok=True)
 
         scores = {"psnr": [], "ssim": [], "lpips": []}
+        # local copies under multi-process (the render mesh is local-only)
+        nerf_local = self._to_local(self.state.params.nerf)
+        occ_local = None if occ is None else self._to_local(occ)
         for i in range(test.count):
             rgb, depth, opacity = render(
-                self.state.params.nerf,
+                nerf_local,
                 jnp.asarray(test.poses_w2c[i]),
                 jnp.asarray(test.K[i]),
-                occ,
+                occ_local,
             )
             pred = np.asarray(rgb)
             gt = test.images_u8[i].astype(np.float32) / 255.0

@@ -179,8 +179,11 @@ def make_loss_fn(
             use_pallas=use_pallas,
             occ=data.occ,
             remat_shade=cfg.train.remat_shade,
+            coarse_free=cfg.nerf.coarse_free,
         )
-        loss_c = rgb_loss(rgb_c, gt)
+        # coarse-free mode has no coarse render (nerf.py returns None);
+        # the rgb_c loss term drops with it
+        loss_c = zero if rgb_c is None else rgb_loss(rgb_c, gt)
         loss_f = rgb_loss(rgb_f, gt)
         total = self_normalized(loss_int) + loss_c + loss_f
         return total, {
@@ -325,6 +328,7 @@ def make_render_fn(
             importance_samples=cfg.eval.importance_samples,
             packed=packed,
             occ=occ,
+            coarse_free=cfg.nerf.coarse_free,
         )
 
     if mesh is not None:

@@ -33,14 +33,27 @@ RIGS = {"array": 100, "room": 88, "halfball": 100, "ball": 110}  # ref cam count
 RES = 800
 N_TEST = 30
 CONFIGS = {
-    # (occ_coarse_samples, importance_samples, occ_probes)
-    "occ48_imp32": (48, 32, 64),
-    "occ32_imp16": (32, 16, 64),
-    "occ24_imp12": (24, 12, 64),
+    # occ=occ_coarse_samples, imp=importance_samples, probes=occ_probes,
+    # rays=rays_per_batch, spi=steps_per_image_epoch, cf=coarse_free
+    "occ48_imp32": dict(occ=48, imp=32),
+    "occ32_imp16": dict(occ=32, imp=16),
+    "occ24_imp12": dict(occ=24, imp=12),
     # probes-halved candidate: -0.45 ms/step measured (BASELINE.md round-3
     # "measured and rejected/held" list); adopted only if quality holds
     # vs the probes-64 twin on the same rig+seed
-    "occ48_imp32_p32": (48, 32, 32),
+    "occ48_imp32_p32": dict(occ=48, imp=32, probes=32),
+    # --- round-4 step-shape scaling (VERDICT r3 #1a): bigger, sparser
+    # steps at CONSTANT total rays/epoch (rays x spi ~ 7000 x 50)
+    "occ48_imp32_b14k": dict(occ=48, imp=32, rays=14000, spi=25),
+    "occ48_imp32_b28k": dict(occ=48, imp=32, rays=28000, spi=13),
+    "occ32_imp16_b28k": dict(occ=32, imp=16, rays=28000, spi=13),
+    # --- round-4 coarse-free (VERDICT r3 #1b): occupancy PMF as the sole
+    # proposal; cfN = N fine samples/ray, no coarse pass at all
+    "cf32": dict(imp=32, cf=True),
+    "cf48": dict(imp=48, cf=True),
+    "cf64": dict(imp=64, cf=True),
+    "cf48_b28k": dict(imp=48, cf=True, rays=28000, spi=13),
+    "cf32_b28k": dict(imp=32, cf=True, rays=28000, spi=13),
 }
 
 
@@ -67,18 +80,23 @@ def run_one(rig: str, config: str) -> dict:
     )
     from mc_nerf_tpu.train.engine import Engine
 
-    occ_c, imp, probes = CONFIGS[config]
+    c = CONFIGS[config]
     out = os.path.join(ROOT, f"{rig}_{config}")
     cfg = Config(
         data_root=os.path.join(ROOT, "data"),
         data_name=f"{rig.capitalize()}_Spheres",
         stages=StageConfig(20, 6, 6),
         train=TrainConfig(
-            rays_per_batch=7000, steps_per_image_epoch=50,
-            importance_samples=imp,
+            rays_per_batch=c.get("rays", 7000),
+            steps_per_image_epoch=c.get("spi", 50),
+            importance_samples=c["imp"],
         ),
-        nerf=NerfConfig(occ_coarse_samples=occ_c, occ_probes=probes),
-        eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=imp),
+        nerf=NerfConfig(
+            occ_coarse_samples=c.get("occ", 48),
+            occ_probes=c.get("probes", 64),
+            coarse_free=c.get("cf", False),
+        ),
+        eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=c["imp"]),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),
             root_out=os.path.join(out, "results"),

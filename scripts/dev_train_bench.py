@@ -116,6 +116,39 @@ def main():
                                dict(occ_coarse_samples=32)),
         "occ24/imp12+xla":    (dict(fine_mode="importance", importance_samples=12, use_pallas=False),
                                dict(occ_coarse_samples=24)),
+        # --- round-4 step-shape scaling (VERDICT r3 #1a): the ~3.5 ms of
+        # fixed per-step glue amortizes linearly in rays_per_batch
+        "occ32/imp16+b14000": (dict(fine_mode="importance", importance_samples=16,
+                                    use_pallas=False, rays_per_batch=14000),
+                               dict(occ_coarse_samples=32)),
+        "occ32/imp16+b28000": (dict(fine_mode="importance", importance_samples=16,
+                                    use_pallas=False, rays_per_batch=28000),
+                               dict(occ_coarse_samples=32)),
+        "occ32/imp16+b56000": (dict(fine_mode="importance", importance_samples=16,
+                                    use_pallas=False, rays_per_batch=56000),
+                               dict(occ_coarse_samples=32)),
+        "occ48/imp32+b14000": (dict(fine_mode="importance", importance_samples=32,
+                                    use_pallas=False, rays_per_batch=14000),
+                               dict(occ_coarse_samples=48)),
+        "occ48/imp32+b28000": (dict(fine_mode="importance", importance_samples=32,
+                                    use_pallas=False, rays_per_batch=28000),
+                               dict(occ_coarse_samples=48)),
+        # --- round-4 coarse-free (VERDICT r3 #1b): occupancy PMF as the
+        # sole proposal, fine MLP only (cfN = N fine samples/ray)
+        "cf32":    (dict(fine_mode="importance", importance_samples=32, use_pallas=False),
+                    dict(coarse_free=True)),
+        "cf48":    (dict(fine_mode="importance", importance_samples=48, use_pallas=False),
+                    dict(coarse_free=True)),
+        "cf64":    (dict(fine_mode="importance", importance_samples=64, use_pallas=False),
+                    dict(coarse_free=True)),
+        "cf32+b28000": (dict(fine_mode="importance", importance_samples=32,
+                             use_pallas=False, rays_per_batch=28000),
+                        dict(coarse_free=True)),
+        "cf48+b28000": (dict(fine_mode="importance", importance_samples=48,
+                             use_pallas=False, rays_per_batch=28000),
+                        dict(coarse_free=True)),
+        "cf32+pallas": (dict(fine_mode="importance", importance_samples=32, use_pallas=True),
+                        dict(coarse_free=True)),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:

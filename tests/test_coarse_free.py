@@ -1,0 +1,169 @@
+"""Coarse-free rendering mode (VERDICT r3 ask #1b): the occupancy PMF is
+the sole sampling proposal; the 4x128 coarse MLP is skipped entirely.
+
+Covers: renderer semantics (train + eval), gradient routing (no gradient
+reaches the coarse MLP), and the end-to-end engine cycle with the grid
+refreshing from the fine MLP.
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_nerf_tpu.config import NerfConfig
+from mc_nerf_tpu.models.nerf import (
+    init_nerf_params,
+    render_rays_eval,
+    render_rays_train,
+)
+from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+
+
+def _setup(n_rays=64, occ_grid_size=8):
+    cfg = NerfConfig(
+        samples_coarse=32, sample_scale=4, fine_bins_topk=8, emb_freqs_xyz=6,
+        coarse_depth=2, coarse_width=32, coarse_skips=(1,),
+        fine_depth=3, fine_width=64, fine_skips=(1,),
+        occ_grid_size=occ_grid_size, occ_probes=32, occ_coarse_samples=16,
+        coarse_free=True,
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    kd = jax.random.PRNGKey(1)
+    rd = jax.random.normal(kd, (n_rays, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = jnp.tile(jnp.array([[0.0, 0.0, -4.0]]), (n_rays, 1))
+    occ = binary_grid(init_grid(occ_grid_size), cfg)  # all-occupied prior
+    return cfg, params, rd, ro, occ
+
+
+def test_train_render_returns_no_coarse():
+    cfg, params, rd, ro, occ = _setup()
+    rgb_c, rgb_f = render_rays_train(
+        params, rd, ro, jax.random.PRNGKey(2), jnp.float32(1.0), cfg,
+        barf_window=(0.0, 1.0), barf_on=False, compute_dtype=jnp.float32,
+        fine_mode="importance", importance_samples=24, occ=occ,
+        coarse_free=True,
+    )
+    assert rgb_c is None
+    assert np.asarray(rgb_f).shape == (64, 3)
+    assert np.all(np.isfinite(np.asarray(rgb_f)))
+
+
+def test_no_gradient_reaches_coarse_mlp():
+    """The coarse MLP is out of the graph: its gradient must be exactly
+    zero while the fine MLP's is not."""
+    cfg, params, rd, ro, occ = _setup(n_rays=32)
+
+    def loss(p):
+        _, rgb_f = render_rays_train(
+            p, rd, ro, jax.random.PRNGKey(2), jnp.float32(1.0), cfg,
+            barf_window=(0.0, 1.0), barf_on=False, compute_dtype=jnp.float32,
+            fine_mode="importance", importance_samples=16, occ=occ,
+            coarse_free=True,
+        )
+        return jnp.sum(rgb_f**2)
+
+    g = jax.grad(loss)(params)
+    coarse_norm = sum(
+        float(jnp.abs(leaf).sum()) for leaf in jax.tree.leaves(g.coarse)
+    )
+    fine_norm = sum(
+        float(jnp.abs(leaf).sum()) for leaf in jax.tree.leaves(g.fine)
+    )
+    assert coarse_norm == 0.0
+    assert fine_norm > 0.0
+
+
+def test_eval_render_matches_importance_statistically():
+    """With an all-occupied grid, coarse-free eval draws uniform strata —
+    the same integral the standard importance path estimates; renders must
+    agree to rendering tolerance."""
+    cfg, params, rd, ro, occ = _setup(n_rays=128)
+    rgb_cf, dep_cf, op_cf = render_rays_eval(
+        params, rd, ro, cfg, jnp.float32,
+        fine_mode="importance", importance_samples=64, occ=occ,
+        coarse_free=True,
+    )
+    std = dataclasses.replace(cfg, coarse_free=False)
+    rgb_i, dep_i, op_i = render_rays_eval(
+        params, rd, ro, std, jnp.float32,
+        fine_mode="importance", importance_samples=64, occ=occ,
+    )
+    assert np.all(np.isfinite(np.asarray(rgb_cf)))
+    assert float(jnp.abs(rgb_cf - rgb_i).mean()) < 3e-2
+    assert float(jnp.abs(op_cf - op_i).mean()) < 5e-2
+
+
+def test_eval_render_deterministic():
+    cfg, params, rd, ro, occ = _setup(n_rays=32)
+    a = render_rays_eval(
+        params, rd, ro, cfg, jnp.float32,
+        fine_mode="importance", importance_samples=16, occ=occ,
+        coarse_free=True,
+    )[0]
+    b = render_rays_eval(
+        params, rd, ro, cfg, jnp.float32,
+        fine_mode="importance", importance_samples=16, occ=occ,
+        coarse_free=True,
+    )[0]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_coarse_free_requires_occ():
+    cfg, params, rd, ro, _ = _setup(n_rays=8)
+    with pytest.raises(ValueError, match="coarse_free"):
+        render_rays_train(
+            params, rd, ro, jax.random.PRNGKey(2), jnp.float32(1.0), cfg,
+            barf_window=(0.0, 1.0), barf_on=False,
+            fine_mode="importance", importance_samples=8, occ=None,
+            coarse_free=True,
+        )
+    with pytest.raises(ValueError, match="coarse_free"):
+        render_rays_eval(
+            params, rd, ro, cfg, jnp.float32,
+            fine_mode="grid", occ=None, coarse_free=True,
+        )
+
+
+def test_engine_coarse_free_cycle(tmp_path):
+    """Full train + demo in coarse-free mode; the occupancy grid refreshes
+    from the FINE MLP (the coarse MLP never enters the graph)."""
+    from mc_nerf_tpu.data.synthetic import make_dataset
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    d = str(tmp_path / "scene" / "Tiny_CF")
+    make_dataset(d, n_train=5, n_val=2, n_test=2, img_h=24, img_w=24, seed=7)
+    cfg = small_cfg(d, str(tmp_path / "out"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
+            occ_probes=16,
+        ),
+    )
+    engine = Engine(cfg)
+    state = engine.train()
+    assert int(state.step) == engine.steps_per_epoch * 3
+    assert engine.occ_grid is not None  # refreshed (from the fine MLP)
+
+    result = engine.demo()
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])
+
+
+def test_engine_rejects_coarse_free_without_occ(tmp_path):
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(cfg.nerf, occ_grid_size=0, coarse_free=True)
+    )
+    with pytest.raises(ValueError, match="coarse_free"):
+        Engine(cfg)

@@ -136,6 +136,7 @@ model:
         occ_coarse_samples: 24
         occ_dilate: False
         occ_map_dtype: 'int8'
+        coarse_free: True
 """
     )
     cfg = load_yaml(str(p))
@@ -160,6 +161,7 @@ model:
     assert cfg.nerf.occ_coarse_samples == 24
     assert cfg.nerf.occ_dilate is False
     assert cfg.nerf.occ_map_dtype == "int8"
+    assert cfg.nerf.coarse_free is True
 
 
 def test_stage_of_epoch():
