@@ -49,6 +49,8 @@ CONFIGS = {
     "occ32_imp16_b28k": dict(occ=32, imp=16, rays=28000, spi=13),
     # --- round-4 coarse-free (VERDICT r3 #1b): occupancy PMF as the sole
     # proposal; cfN = N fine samples/ray, no coarse pass at all
+    "cf16": dict(imp=16, cf=True),
+    "cf24": dict(imp=24, cf=True),
     "cf32": dict(imp=32, cf=True),
     "cf48": dict(imp=48, cf=True),
     "cf64": dict(imp=64, cf=True),

@@ -135,6 +135,10 @@ def main():
                                dict(occ_coarse_samples=48)),
         # --- round-4 coarse-free (VERDICT r3 #1b): occupancy PMF as the
         # sole proposal, fine MLP only (cfN = N fine samples/ray)
+        "cf16":    (dict(fine_mode="importance", importance_samples=16, use_pallas=False),
+                    dict(coarse_free=True)),
+        "cf24":    (dict(fine_mode="importance", importance_samples=24, use_pallas=False),
+                    dict(coarse_free=True)),
         "cf32":    (dict(fine_mode="importance", importance_samples=32, use_pallas=False),
                     dict(coarse_free=True)),
         "cf48":    (dict(fine_mode="importance", importance_samples=48, use_pallas=False),
