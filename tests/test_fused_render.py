@@ -155,15 +155,23 @@ def test_fused_render_depth_opacity_grads():
         np.testing.assert_allclose(a, b, rtol=0, atol=5e-3 * scale)
 
 
-def test_fused_render_quarantined_s64_pads_exactly():
-    """s=64's composite backward faults on the v5e, so fused_render runs it
-    padded to s=72 with zero-delta phantom samples (_QUARANTINED_S).  The
-    pad must be EXACT — forward outputs, wsel, and every gradient match the
-    unpadded composite math."""
+def _quarantined_sizes():
     from mc_nerf_tpu.ops.pallas import fused_render as fr
 
-    assert fr._safe_s(64) != 64  # the quarantine is active
-    s = 64
+    return sorted(fr._QUARANTINED_S)
+
+
+@pytest.mark.parametrize("s", _quarantined_sizes())
+def test_fused_render_quarantined_s_pads_exactly(s):
+    """Every quarantined sample count (composite backward faults on the v5e;
+    table from the scripts/dev_fault_sweep.py on-chip sweep) runs padded
+    with zero-delta phantom samples (_QUARANTINED_S).  The pad must be
+    EXACT — forward outputs, wsel, and every gradient match the unpadded
+    composite math.  Parametrized over the whole table so any sweep-driven
+    extension is covered automatically (VERDICT r3 #3)."""
+    from mc_nerf_tpu.ops.pallas import fused_render as fr
+
+    assert fr._safe_s(s) != s  # the quarantine is active
     packed, feat, basis16, z, noise, noise_sel = _setup(seed=2, s=s)
     coeff = jnp.asarray(
         np.random.default_rng(7).normal(size=(RAYS, 3)), jnp.float32
