@@ -99,9 +99,9 @@ def _measure(cfg, n_epochs: int = 3) -> float:
     # (uniform-sampling) map, the most honest/conservative choice.
     occ = None
     if cfg.nerf.occ_grid_size > 0 and cfg.train.fine_mode == "importance":
-        from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+        from mc_nerf_tpu.ops.occupancy import uniform_prior_map
 
-        occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+        occ = uniform_prior_map(cfg.nerf)
     data = TrainData(images_u8=images, calib=calib, occ=occ)
 
     # epoch-granular like the real engine: one lax.scan per epoch, one host

@@ -212,6 +212,15 @@ class NerfConfig:
     # (values are {0,1}); A/B'd on-chip via scripts/dev_occ_probe_bench.py
     # + dev_train_bench.py before flipping the default.
     occ_map_dtype: str = "bfloat16"
+    # sampling-PMF semantics (extension; ops/occupancy.proposal_pmf):
+    # "binary" — occupancy {0,1} + floor (piecewise-uniform over occupied
+    # cells); "density" — compositing weights T*alpha built from the probed
+    # EMA density itself (a grid-based coarse pass at zero MLP cost), so
+    # samples concentrate at surfaces.  Density mode exists because the
+    # binary PMF cannot localize surfaces at sparse coarse-free budgets
+    # (cf16/cf32 plateaued at 6 PSNR on the Array rig, BASELINE.md round 4);
+    # requires occ_map_dtype="bfloat16" (the map carries magnitudes).
+    occ_pmf: str = "binary"
 
     @property
     def samples_fine_grid(self) -> int:
@@ -390,6 +399,7 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_dilate=get(model, "nerf", "occ_dilate", default=cfg.nerf.occ_dilate),
         occ_map_dtype=get(model, "nerf", "occ_map_dtype", default=cfg.nerf.occ_map_dtype),
         coarse_free=get(model, "nerf", "coarse_free", default=cfg.nerf.coarse_free),
+        occ_pmf=get(model, "nerf", "occ_pmf", default=cfg.nerf.occ_pmf),
     )
     evalc = dataclasses.replace(
         cfg.eval,

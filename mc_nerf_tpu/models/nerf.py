@@ -31,7 +31,7 @@ from mc_nerf_tpu.ops.pallas.fused_mlp import (
     fused_shaded_mlp,
     pack_mlp_params,
 )
-from mc_nerf_tpu.ops.occupancy import occupancy_pmf
+from mc_nerf_tpu.ops.occupancy import proposal_pmf
 from mc_nerf_tpu.ops.pallas.fused_render import fused_render
 from mc_nerf_tpu.ops.volume import (
     composite,
@@ -200,7 +200,7 @@ def render_rays_train(
             else None
         )
         basis = sh_basis(cfg.sh_deg, rays_d)
-        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_probe, pmf = proposal_pmf(occ, rays_o, rays_d, cfg)
         z_f = jnp.clip(
             sample_pdf(z_probe, pmf, importance_samples, key=kn_pdf),
             cfg.near, cfg.far,
@@ -243,7 +243,7 @@ def render_rays_train(
         if fine_mode != "importance":
             raise ValueError("occupancy culling requires fine_mode='importance'")
         sc = cfg.occ_coarse_samples
-        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_probe, pmf = proposal_pmf(occ, rays_o, rays_d, cfg)
         # probe ladder carries phantom end bins (occupancy_pmf doc); clip
         # the drawn depths back into the render range
         z_c = jnp.clip(
@@ -461,7 +461,7 @@ def render_rays_eval(
                 "coarse_free requires an occupancy map and fine_mode='importance'"
             )
         basis = sh_basis(cfg.sh_deg, rays_d)
-        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_probe, pmf = proposal_pmf(occ, rays_o, rays_d, cfg)
         z_f = jnp.clip(
             sample_pdf(z_probe, pmf, importance_samples), cfg.near, cfg.far
         )
@@ -492,7 +492,7 @@ def render_rays_eval(
         if fine_mode != "importance":
             raise ValueError("occupancy culling requires fine_mode='importance'")
         sc = cfg.occ_coarse_samples
-        z_probe, pmf = occupancy_pmf(occ, rays_o, rays_d, cfg)
+        z_probe, pmf = proposal_pmf(occ, rays_o, rays_d, cfg)
         # deterministic midpoint strata; clip the phantom-end-bin overhang
         z_c = jnp.clip(sample_pdf(z_probe, pmf, sc), cfg.near, cfg.far)
     else:

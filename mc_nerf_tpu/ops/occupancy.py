@@ -161,6 +161,55 @@ def binary_grid(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
     raise ValueError(f"unknown occ_map_dtype: {dt!r}")
 
 
+def density_rows(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
+    """Density-valued sampler map for ``occ_pmf="density"`` (coarse-free).
+
+    The binary map throws away the grid's magnitudes, so the coarse-free
+    PMF is piecewise-UNIFORM over occupied cells — it cannot concentrate
+    samples at surfaces the way the two-pass coarse weights do, and at
+    sparse budgets (cf16/cf32) the fine MLP plateaus (measured: Array rig
+    6.1 PSNR vs 18.1 two-pass, BASELINE.md round 4).  This keeps the EMA
+    density itself in the ``[G*G, G]`` probe layout so
+    :func:`density_pmf` can build real compositing weights
+    (transmittance x alpha) from the grid — a grid-based coarse pass at
+    zero MLP cost.
+
+    Same 3^3 max-pool dilation as :func:`binary_grid` (boundary cells must
+    not be starved); bf16 rows (the probe gather is lane-bound, not
+    byte-bound — BASELINE.md round-3 layout A/B).
+    """
+    g = grid.density.shape[0]
+    d = grid.density
+    if cfg.occ_dilate:
+        d = jax.lax.reduce_window(
+            d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+    return d.reshape(g * g, g).astype(jnp.bfloat16)
+
+
+def uniform_prior_map(cfg: NerfConfig) -> jnp.ndarray:
+    """The warmup / pre-refresh sampler map that yields UNIFORM sampling.
+
+    * ``occ_pmf="binary"``: the all-occupied binary map (occupancy 1
+      everywhere -> flat PMF);
+    * ``occ_pmf="density"``: the all-ZERO density map (alpha 0 everywhere
+      -> the PMF is pure ``occ_floor`` -> flat).  An all-occupied 1e4
+      density would instead front-load every ray's samples at the near
+      plane through the transmittance term.
+    """
+    if cfg.occ_pmf == "density":
+        g = cfg.occ_grid_size
+        return jnp.zeros((g * g, g), jnp.bfloat16)
+    return binary_grid(init_grid(cfg.occ_grid_size), cfg)
+
+
+def sampler_map(grid: OccupancyGrid, cfg: NerfConfig) -> jnp.ndarray:
+    """The per-``cfg.occ_pmf`` map :func:`proposal_pmf` consumes."""
+    if cfg.occ_pmf == "density":
+        return density_rows(grid, cfg)
+    return binary_grid(grid, cfg)
+
+
 def probe_occupancy(
     occ2d: jnp.ndarray,
     lo: float,
@@ -243,3 +292,54 @@ def occupancy_pmf(
     occ = probe_occupancy(occ2d, cfg.bound_min, cfg.bound_max, x)
     pmf = jnp.pad(occ + cfg.occ_floor, ((0, 0), (1, 1)))
     return z, pmf
+
+
+def density_pmf(
+    dens2d: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: NerfConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compositing-weight PMF from the EMA density grid (``occ_pmf="density"``).
+
+    A grid-based coarse pass: probe ``occ_probes`` uniform depths, read the
+    activated density from :func:`density_rows`' map, and build the same
+    weights the two-pass renderer computes from the coarse MLP —
+    ``w_i = T_i * (1 - exp(-d_i * h))`` with ``T_i = exp(-h * sum_{j<i} d_j)``
+    — so the fine inverse-CDF draw concentrates at surfaces instead of
+    spreading uniformly over occupied cells (the binary PMF's failure mode
+    at sparse budgets, BASELINE.md round 4).  Costs the same row gather as
+    :func:`occupancy_pmf` plus one cumsum; zero MLP evaluations.
+
+    The floor is scaled ``occ_floor / occ_probes`` (total exploration mass
+    ~= occ_floor vs a total weight mass <= 1; the binary PMF's per-probe
+    floor against {0,1} masses has the same ratio).  An all-zero density
+    map (the warmup prior, :func:`uniform_prior_map`) yields the pure-floor
+    uniform PMF.  Same phantom-end-bin ladder as :func:`occupancy_pmf`.
+    """
+    p = cfg.occ_probes
+    h = (cfg.far - cfg.near) / (p - 1)
+    z = jnp.linspace(cfg.near - h, cfg.far + h, p + 2, dtype=jnp.float32)
+    z = jnp.broadcast_to(z[None, :], (rays_o.shape[0], p + 2))
+    x = rays_o[:, None, :] + rays_d[:, None, :] * z[..., 1:-1, None]
+    d = probe_occupancy(dens2d, cfg.bound_min, cfg.bound_max, x)  # [R, P]
+    dh = d * h
+    alpha = 1.0 - jnp.exp(-dh)
+    trans = jnp.exp(-jnp.cumsum(dh, axis=-1) + dh)  # exclusive prefix sum
+    w = trans * alpha
+    pmf = jnp.pad(w + cfg.occ_floor / p, ((0, 0), (1, 1)))
+    return z, pmf
+
+
+def proposal_pmf(
+    occ2d: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: NerfConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch on ``cfg.occ_pmf``: the map's VALUES carry the semantics
+    (binary {0,1} vs bf16 density), so one map array threads through the
+    jitted epoch program either way."""
+    if cfg.occ_pmf == "density":
+        return density_pmf(occ2d, rays_o, rays_d, cfg)
+    return occupancy_pmf(occ2d, rays_o, rays_d, cfg)

@@ -43,6 +43,7 @@ selects fine bins under ``torch.no_grad()``, mc_nerf.py:613).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -103,6 +104,11 @@ _QUARANTINED_S = {64: 72}
 
 
 def _safe_s(s: int) -> int:
+    # Escape hatch for the fault-surface sweep (scripts/dev_fault_sweep.py):
+    # probe the RAW geometry, bypassing the quarantine pad.  A faulting cell
+    # crashes the TPU worker — never set this outside the sweep harness.
+    if os.environ.get("MC_NERF_FUSED_RAW_S"):
+        return s
     return _QUARANTINED_S.get(s, s)
 
 

@@ -43,8 +43,8 @@ from mc_nerf_tpu.models.mlp import apply_nerf_mlp
 from mc_nerf_tpu.models.nerf import init_nerf_params
 from mc_nerf_tpu.ops.occupancy import (
     OccupancyGrid,
-    binary_grid,
-    init_grid,
+    sampler_map,
+    uniform_prior_map,
     update_grid,
 )
 from mc_nerf_tpu.parallel.mesh import make_mesh
@@ -100,6 +100,13 @@ class Engine:
                 "nerf.coarse_free requires occ_grid_size > 0 and "
                 "fine_mode='importance' for both train and eval — the "
                 "occupancy grid is the sole sampling proposal in this mode"
+            )
+        if cfg.nerf.occ_pmf not in ("binary", "density"):
+            raise ValueError(f"unknown nerf.occ_pmf: {cfg.nerf.occ_pmf!r}")
+        if cfg.nerf.occ_pmf == "density" and cfg.nerf.occ_map_dtype != "bfloat16":
+            raise ValueError(
+                "nerf.occ_pmf='density' requires occ_map_dtype='bfloat16' — "
+                "the sampler map carries density magnitudes, not {0,1}"
             )
         setup_logging(cfg.paths.log_path, cfg.log_to_file)
         logging.info("Loading scene: %s", cfg.scene_dir)
@@ -241,7 +248,7 @@ class Engine:
                     prev, act, nc.occ_grid_size, nc.bound_min, nc.bound_max,
                     key=key, decay=nc.occ_decay,
                 )
-                return g.density, binary_grid(g, nc)
+                return g.density, sampler_map(g, nc)
 
             self._grid_refresh = (
                 jax.jit(refresh),
@@ -368,9 +375,9 @@ class Engine:
                 # rebuild it from the restored coarse MLP in one call
                 self._refresh_occupancy(start_epoch - 1)
             else:
-                self._occ2d = binary_grid(
-                    init_grid(cfg.nerf.occ_grid_size), cfg.nerf
-                )  # all-occupied: uniform sampling until the first refresh
+                # uniform sampling until the first refresh (all-occupied
+                # binary map / all-zero density map per occ_pmf)
+                self._occ2d = uniform_prior_map(cfg.nerf)
             data = data._replace(occ=self._occ2d)
 
         # profiling hook (SURVEY §5): MC_NERF_PROFILE=<dir> traces the first
@@ -579,9 +586,9 @@ class Engine:
             )
             if cfg.nerf.coarse_free:
                 # coarse-free cannot render occ-less (the grid IS the
-                # sampling proposal): fall back to the all-occupied prior
+                # sampling proposal): fall back to the uniform prior
                 # (= uniform sampling), the same state train-side warmup uses
-                occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+                occ = uniform_prior_map(cfg.nerf)
 
         stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
         base = os.path.join(cfg.paths.render_dir + "_" + stamp)

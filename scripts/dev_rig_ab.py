@@ -56,6 +56,15 @@ CONFIGS = {
     "cf64": dict(imp=64, cf=True),
     "cf48_b28k": dict(imp=48, cf=True, rays=28000, spi=13),
     "cf32_b28k": dict(imp=32, cf=True, rays=28000, spi=13),
+    # --- round-4 density PMF (occ_pmf="density"): grid-based coarse pass;
+    # the binary-PMF cf runs plateaued (Array 6.1 PSNR) because the PMF
+    # cannot concentrate samples at surfaces
+    "cf16d": dict(imp=16, cf=True, pmf="density"),
+    "cf24d": dict(imp=24, cf=True, pmf="density"),
+    "cf32d": dict(imp=32, cf=True, pmf="density"),
+    # density PMF under the two-pass pipeline (sharper coarse placement)
+    "occ32d_imp16": dict(occ=32, imp=16, pmf="density"),
+    "occ24d_imp12": dict(occ=24, imp=12, pmf="density"),
 }
 
 
@@ -97,6 +106,7 @@ def run_one(rig: str, config: str) -> dict:
             occ_coarse_samples=c.get("occ", 48),
             occ_probes=c.get("probes", 64),
             coarse_free=c.get("cf", False),
+            occ_pmf=c.get("pmf", "binary"),
         ),
         eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=c["imp"]),
         paths=PathsConfig(

@@ -43,9 +43,9 @@ def setup(cfg):
     )
     occ = None
     if cfg.nerf.occ_grid_size > 0 and cfg.train.fine_mode == "importance":
-        from mc_nerf_tpu.ops.occupancy import binary_grid, init_grid
+        from mc_nerf_tpu.ops.occupancy import uniform_prior_map
 
-        occ = binary_grid(init_grid(cfg.nerf.occ_grid_size), cfg.nerf)
+        occ = uniform_prior_map(cfg.nerf)
     data = TrainData(images_u8=images, calib=calib, occ=occ)
     # epoch-granular like the real engine: one lax.scan, one host sync per
     # epoch (per-step float() syncs pay ~40 ms of tunnel latency each)
@@ -153,6 +153,17 @@ def main():
                         dict(coarse_free=True)),
         "cf32+pallas": (dict(fine_mode="importance", importance_samples=32, use_pallas=True),
                         dict(coarse_free=True)),
+        # --- round-4 density PMF (grid-based coarse pass): same gather as
+        # the binary probe + one cumsum; cost delta should be ~noise
+        "cf16d":   (dict(fine_mode="importance", importance_samples=16, use_pallas=False),
+                    dict(coarse_free=True, occ_pmf="density")),
+        "cf24d":   (dict(fine_mode="importance", importance_samples=24, use_pallas=False),
+                    dict(coarse_free=True, occ_pmf="density")),
+        "cf32d":   (dict(fine_mode="importance", importance_samples=32, use_pallas=False),
+                    dict(coarse_free=True, occ_pmf="density")),
+        # density PMF under the two-pass pipeline (coarse placement sharpens)
+        "occ32d/imp16": (dict(fine_mode="importance", importance_samples=16, use_pallas=False),
+                         dict(occ_coarse_samples=32, occ_pmf="density")),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:

@@ -167,3 +167,32 @@ def test_engine_rejects_coarse_free_without_occ(tmp_path):
     )
     with pytest.raises(ValueError, match="coarse_free"):
         Engine(cfg)
+
+
+def test_engine_coarse_free_density_pmf_cycle(tmp_path):
+    """Coarse-free with occ_pmf='density' (the grid-based coarse pass,
+    BASELINE.md round 4): full train + demo; warmup runs on the all-zero
+    density prior (uniform), then the grid refresh feeds T*alpha weights."""
+    from mc_nerf_tpu.data.synthetic import make_dataset
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    d = str(tmp_path / "scene" / "Tiny_CFD")
+    make_dataset(d, n_train=5, n_val=2, n_test=2, img_h=24, img_w=24, seed=7)
+    cfg = small_cfg(d, str(tmp_path / "out"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
+            occ_probes=16, occ_pmf="density",
+        ),
+    )
+    engine = Engine(cfg)
+    state = engine.train()
+    assert int(state.step) == engine.steps_per_epoch * 3
+    assert engine.occ_grid is not None
+    assert engine._occ2d.dtype == jnp.bfloat16
+
+    result = engine.demo()
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])

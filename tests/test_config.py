@@ -137,6 +137,7 @@ model:
         occ_dilate: False
         occ_map_dtype: 'int8'
         coarse_free: True
+        occ_pmf: 'density'
 """
     )
     cfg = load_yaml(str(p))
@@ -162,6 +163,7 @@ model:
     assert cfg.nerf.occ_dilate is False
     assert cfg.nerf.occ_map_dtype == "int8"
     assert cfg.nerf.coarse_free is True
+    assert cfg.nerf.occ_pmf == "density"
 
 
 def test_stage_of_epoch():

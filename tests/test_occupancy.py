@@ -224,3 +224,140 @@ def test_render_rays_eval_occ_finite_and_close():
     assert jnp.all(jnp.isfinite(rgb1))
     # all-occupied grid: deterministic strata vs uniform grid — close output
     np.testing.assert_allclose(np.asarray(rgb0), np.asarray(rgb1), atol=0.06)
+
+
+# --- occ_pmf="density": the grid-based coarse pass (round 4) -------------
+#
+# The binary PMF is piecewise-uniform over occupied cells and cannot
+# concentrate samples at surfaces — at sparse coarse-free budgets the fine
+# MLP plateaus (BASELINE.md round 4, Array rig).  density_pmf builds real
+# compositing weights (transmittance x alpha) from the probed EMA density.
+
+import dataclasses
+
+from mc_nerf_tpu.ops.occupancy import (
+    density_pmf,
+    density_rows,
+    proposal_pmf,
+    sampler_map,
+    uniform_prior_map,
+)
+
+DCFG = dataclasses.replace(CFG, occ_pmf="density")
+
+
+def test_uniform_prior_map_density_is_uniform():
+    """Warmup invariant for density mode: the all-ZERO density prior must
+    reproduce uniform stratified sampling (pure occ_floor PMF)."""
+    dens2d = uniform_prior_map(DCFG)
+    assert dens2d.dtype == jnp.bfloat16
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    z, pmf = density_pmf(dens2d, rays_o, rays_d, DCFG)
+    np.testing.assert_array_equal(np.asarray(pmf[:, (0, -1)]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(pmf[:, 1:-1]), DCFG.occ_floor / DCFG.occ_probes, rtol=1e-5
+    )
+    zs = np.asarray(sample_pdf(z, pmf, 16))[0]
+    spacing = np.diff(zs)
+    np.testing.assert_allclose(spacing, spacing[0], rtol=0.05)
+    assert zs[0] > DCFG.near and zs[-1] < DCFG.far
+
+
+def test_uniform_prior_map_binary_unchanged():
+    """Binary mode's prior stays the all-occupied map."""
+    np.testing.assert_array_equal(
+        np.asarray(uniform_prior_map(CFG)),
+        np.asarray(binary_grid(init_grid(G), CFG)),
+    )
+
+
+def test_density_pmf_matches_composite_weight_formula():
+    """pmf == T * alpha + floor/P for the probed densities (independent
+    numpy recomputation of the compositing-weight math)."""
+    cfg = dataclasses.replace(DCFG, occ_dilate=False)
+    # constant density slab: world z in [0, 1]
+    vox = (HI - LO) / G
+    zc = LO + (np.arange(G) + 0.5) * vox
+    dens = np.zeros((G, G, G), np.float32)
+    dens[:, :, (zc >= 0.0) & (zc <= 1.0)] = 7.5
+    dens2d = jnp.asarray(dens.reshape(G * G, G), jnp.bfloat16)
+
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    z, pmf = density_pmf(dens2d, rays_o, rays_d, cfg)
+
+    p = cfg.occ_probes
+    h = (cfg.far - cfg.near) / (p - 1)
+    d = np.asarray(
+        probe_occupancy(
+            dens2d, LO, HI,
+            rays_o[:, None, :] + rays_d[:, None, :] * z[..., 1:-1, None],
+        )
+    )
+    dh = d * h
+    alpha = 1.0 - np.exp(-dh)
+    trans = np.exp(-(np.cumsum(dh, axis=-1) - dh))
+    expect = trans * alpha + cfg.occ_floor / p
+    np.testing.assert_allclose(np.asarray(pmf[:, 1:-1]), expect, rtol=1e-4,
+                               atol=1e-6)
+    assert expect.max() > 0.1  # the slab actually carries weight
+
+
+def test_density_sampling_concentrates_at_first_surface():
+    """An opaque wall from world z=0 onward: the binary PMF spreads samples
+    over the WHOLE occupied half-space; the density PMF's transmittance
+    kills everything behind the entry surface."""
+    vox = (HI - LO) / G
+    zc = LO + (np.arange(G) + 0.5) * vox
+    dens = np.zeros((G, G, G), np.float32)
+    dens[:, :, zc >= 0.0] = 50.0
+    grid = OccupancyGrid(jnp.asarray(dens))
+    cfg_b = dataclasses.replace(CFG, occ_dilate=False)
+    cfg_d = dataclasses.replace(DCFG, occ_dilate=False)
+
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])  # hits the wall at depth z=3
+    zb, pb = occupancy_pmf(binary_grid(grid, cfg_b), rays_o, rays_d, cfg_b)
+    zd, pd = density_pmf(density_rows(grid, cfg_d), rays_o, rays_d, cfg_d)
+    zs_b = np.asarray(sample_pdf(zb, pb, 32))[0]
+    zs_d = np.asarray(sample_pdf(zd, pd, 32))[0]
+
+    # binary: uniform over [3, far] -> ~40% of samples land beyond 5
+    assert np.mean(zs_b > 5.0) > 0.3
+    # density: transmittance extinguishes within ~3/50 of the entry
+    assert np.mean(zs_d > 5.0) < 0.1
+    assert np.mean((zs_d > 2.7) & (zs_d < 3.6)) > 0.7
+
+
+def test_sampler_map_and_dispatch():
+    grid = update_grid(None, _sphere_act, G, LO, HI, chunk=1024)
+    m_b = sampler_map(grid, CFG)
+    m_d = sampler_map(grid, DCFG)
+    np.testing.assert_array_equal(np.asarray(m_b), np.asarray(binary_grid(grid, CFG)))
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(density_rows(grid, DCFG)))
+    assert m_d.dtype == jnp.bfloat16 and m_d.shape == (G * G, G)
+    # dilation: density rows take the 3^3 neighborhood max, like the binary map
+    assert float(jnp.sum(m_d > 0)) > float(jnp.sum(grid.density > 0))
+
+    rays_o = jnp.asarray([[0.0, 0.0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    zb, pb = proposal_pmf(m_b, rays_o, rays_d, CFG)
+    zb2, pb2 = occupancy_pmf(m_b, rays_o, rays_d, CFG)
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(pb2))
+    zd, pd = proposal_pmf(m_d, rays_o, rays_d, DCFG)
+    zd2, pd2 = density_pmf(m_d, rays_o, rays_d, DCFG)
+    np.testing.assert_array_equal(np.asarray(pd), np.asarray(pd2))
+
+
+def test_engine_rejects_bad_occ_pmf(tmp_path):
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="occ_pmf"):
+        Engine(cfg.replace(nerf=dataclasses.replace(cfg.nerf, occ_pmf="nope")))
+    with pytest.raises(ValueError, match="bfloat16"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_pmf="density", occ_map_dtype="int8")))
