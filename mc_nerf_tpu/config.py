@@ -205,6 +205,16 @@ class NerfConfig:
     # occ_grid_size > 0 and fine_mode="importance".  Quality/throughput
     # evidence: BASELINE.md round-4 coarse-free A/B.
     coarse_free: bool = False
+    # first NeRF training stage that runs coarse-free (1 = GLOBAL_OPTIM,
+    # i.e. all NeRF training; 2 = FINE_TUNE only — the HYBRID schedule).
+    # Coarse-free from scratch cannot bootstrap: with only K uniform
+    # samples/ray and no coarse MLP to concentrate them, the fine field
+    # stays blurry and the grid derived from it never localizes (measured:
+    # Array rig cf16 6.1 / cf16d 5.8 PSNR vs 18.1 two-pass, BASELINE.md
+    # round 4).  The hybrid runs the two-pass pipeline while BARF ramps
+    # (stage 1), then switches to the grid proposal once the field is
+    # trained — the fine-tune stage steps at the coarse-free rate.
+    coarse_free_from_stage: int = 1
     # storage layout of the binary map fed to the per-ray probe — its row
     # gather is the train step's largest single HBM op ([R, P, G] rows).
     # "bfloat16" / "int8": one cell per lane (2 / 1 B); "bitpack": 32 z
@@ -225,6 +235,12 @@ class NerfConfig:
     @property
     def samples_fine_grid(self) -> int:
         return self.samples_coarse * self.sample_scale
+
+    def coarse_free_at(self, stage: int) -> bool:
+        """Is the renderer coarse-free at this engine stage (0 = CAM_PARAM,
+        1 = GLOBAL_OPTIM, 2 = FINE_TUNE)?  Eval always uses the terminal
+        mode (``coarse_free`` itself)."""
+        return self.coarse_free and stage >= self.coarse_free_from_stage
 
     @property
     def samples_fine(self) -> int:
@@ -400,6 +416,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_map_dtype=get(model, "nerf", "occ_map_dtype", default=cfg.nerf.occ_map_dtype),
         coarse_free=get(model, "nerf", "coarse_free", default=cfg.nerf.coarse_free),
         occ_pmf=get(model, "nerf", "occ_pmf", default=cfg.nerf.occ_pmf),
+        coarse_free_from_stage=get(model, "nerf", "coarse_free_from_stage",
+                                   default=cfg.nerf.coarse_free_from_stage),
     )
     evalc = dataclasses.replace(
         cfg.eval,

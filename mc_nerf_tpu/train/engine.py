@@ -103,6 +103,11 @@ class Engine:
             )
         if cfg.nerf.occ_pmf not in ("binary", "density"):
             raise ValueError(f"unknown nerf.occ_pmf: {cfg.nerf.occ_pmf!r}")
+        if cfg.nerf.coarse_free_from_stage not in (1, 2):
+            raise ValueError(
+                "nerf.coarse_free_from_stage must be 1 (GLOBAL_OPTIM, all "
+                "NeRF training) or 2 (FINE_TUNE only — the hybrid schedule)"
+            )
         if cfg.nerf.occ_pmf == "density" and cfg.nerf.occ_map_dtype != "bfloat16":
             raise ValueError(
                 "nerf.occ_pmf='density' requires occ_map_dtype='bfloat16' — "
@@ -172,7 +177,7 @@ class Engine:
         # and demo rebuild it in one lattice evaluation.
         self.occ_grid: Optional[OccupancyGrid] = None
         self._occ2d = None          # current binary map fed to train/eval
-        self._grid_refresh = None   # cached jitted refresh fns
+        self._grid_refresh = {}     # cached jitted refresh fns per source
 
     # ------------------------------------------------------------ multi-process
 
@@ -225,15 +230,18 @@ class Engine:
             and self.cfg.eval.fine_mode == "importance"
         )
 
-    def _grid_refresh_fns(self):
-        """(ema_refresh, fresh_refresh) jitted closures over the config.
+    def _grid_refresh_fns(self, source: str):
+        """(ema_refresh, fresh_refresh) jitted closures over the config,
+        per density ``source`` ("coarse" / "fine").
 
-        Coarse-free mode derives the grid from the FINE MLP — the coarse
-        MLP never trains there (nerf.py render_rays_train coarse_free)."""
-        if self._grid_refresh is None:
+        Coarse-free epochs derive the grid from the FINE MLP — the coarse
+        MLP never trains there (nerf.py render_rays_train coarse_free);
+        under the hybrid schedule (``coarse_free_from_stage=2``) the
+        GLOBAL_OPTIM epochs still refresh from the coarse MLP."""
+        if source not in self._grid_refresh:
             nc = self.cfg.nerf
             cd = jnp.dtype(self.cfg.compute_dtype)
-            skips = nc.fine_skips if nc.coarse_free else nc.coarse_skips
+            skips = nc.fine_skips if source == "fine" else nc.coarse_skips
 
             def refresh(mlp_params, prev_density, key):
                 def act(pts):
@@ -250,19 +258,21 @@ class Engine:
                 )
                 return g.density, sampler_map(g, nc)
 
-            self._grid_refresh = (
+            self._grid_refresh[source] = (
                 jax.jit(refresh),
                 jax.jit(lambda cp, k: refresh(cp, None, k)),
             )
-        return self._grid_refresh
+        return self._grid_refresh[source]
 
     def _refresh_occupancy(self, epoch: int) -> None:
-        """Refresh the EMA grid + binary map from the density MLP (coarse,
-        or fine under coarse_free)."""
-        ema, fresh = self._grid_refresh_fns()
+        """Refresh the EMA grid + sampler map from the density MLP (coarse,
+        or fine in coarse-free epochs — ``coarse_free_at``)."""
+        stage = self.cfg.stages.stage_of_epoch(epoch)
+        source = "fine" if self.cfg.nerf.coarse_free_at(stage) else "coarse"
+        ema, fresh = self._grid_refresh_fns(source)
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.train.seed ^ 0x0CC), epoch)
         nerf = self.state.params.nerf
-        mlp = nerf.fine if self.cfg.nerf.coarse_free else nerf.coarse
+        mlp = nerf.fine if source == "fine" else nerf.coarse
         if self.occ_grid is None:
             density, occ2d = fresh(mlp, key)
         else:

@@ -179,7 +179,7 @@ def make_loss_fn(
             use_pallas=use_pallas,
             occ=data.occ,
             remat_shade=cfg.train.remat_shade,
-            coarse_free=cfg.nerf.coarse_free,
+            coarse_free=cfg.nerf.coarse_free_at(stage),
         )
         # coarse-free mode has no coarse render (nerf.py returns None);
         # the rgb_c loss term drops with it

@@ -65,6 +65,11 @@ CONFIGS = {
     # density PMF under the two-pass pipeline (sharper coarse placement)
     "occ32d_imp16": dict(occ=32, imp=16, pmf="density"),
     "occ24d_imp12": dict(occ=24, imp=12, pmf="density"),
+    # --- round-4 HYBRID schedule (coarse_free_from_stage=2): two-pass
+    # while BARF ramps (GLOBAL_OPTIM), grid-proposal coarse-free in
+    # FINE_TUNE — coarse-free from scratch cannot bootstrap (BASELINE.md)
+    "hyb32_16": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density"),
+    "hyb48_32": dict(occ=48, imp=32, cf=True, cf_stage=2, pmf="density"),
 }
 
 
@@ -106,6 +111,7 @@ def run_one(rig: str, config: str) -> dict:
             occ_coarse_samples=c.get("occ", 48),
             occ_probes=c.get("probes", 64),
             coarse_free=c.get("cf", False),
+            coarse_free_from_stage=c.get("cf_stage", 1),
             occ_pmf=c.get("pmf", "binary"),
         ),
         eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=c["imp"]),

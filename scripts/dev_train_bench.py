@@ -164,6 +164,10 @@ def main():
         # density PMF under the two-pass pipeline (coarse placement sharpens)
         "occ32d/imp16": (dict(fine_mode="importance", importance_samples=16, use_pallas=False),
                          dict(occ_coarse_samples=32, occ_pmf="density")),
+        "occ24d/imp12": (dict(fine_mode="importance", importance_samples=12, use_pallas=False),
+                         dict(occ_coarse_samples=24, occ_pmf="density")),
+        "occ16d/imp8":  (dict(fine_mode="importance", importance_samples=8, use_pallas=False),
+                         dict(occ_coarse_samples=16, occ_pmf="density")),
     }
     which = sys.argv[1:] or list(variants)
     for name in which:

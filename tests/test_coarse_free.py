@@ -196,3 +196,56 @@ def test_engine_coarse_free_density_pmf_cycle(tmp_path):
     result = engine.demo()
     assert result["count"] == 2
     assert np.isfinite(result["psnr"])
+
+
+def test_coarse_free_at_stage_logic():
+    cfg = NerfConfig(coarse_free=True, coarse_free_from_stage=2)
+    assert not cfg.coarse_free_at(0)
+    assert not cfg.coarse_free_at(1)
+    assert cfg.coarse_free_at(2)
+    full = NerfConfig(coarse_free=True)  # from_stage default 1
+    assert full.coarse_free_at(1) and full.coarse_free_at(2)
+    off = NerfConfig(coarse_free=False, coarse_free_from_stage=2)
+    assert not off.coarse_free_at(2)
+
+
+def test_engine_hybrid_coarse_free_cycle(tmp_path):
+    """HYBRID schedule (coarse_free_from_stage=2): GLOBAL_OPTIM trains the
+    full two-pass pipeline (grid refreshes from the COARSE MLP), FINE_TUNE
+    switches to the grid proposal (refreshes from the FINE MLP), demo
+    renders coarse-free.  Coarse-free from scratch cannot bootstrap
+    (BASELINE.md round 4); this is the quality-preserving deployment."""
+    from mc_nerf_tpu.data.synthetic import make_dataset
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    d = str(tmp_path / "scene" / "Tiny_HYB")
+    make_dataset(d, n_train=5, n_val=2, n_test=2, img_h=24, img_w=24, seed=7)
+    cfg = small_cfg(d, str(tmp_path / "out"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
+            coarse_free_from_stage=2, occ_probes=16,
+        ),
+    )
+    engine = Engine(cfg)
+    state = engine.train()
+    assert int(state.step) == engine.steps_per_epoch * 3
+    # both refresh sources ran: coarse (stage 1) then fine (stage 2)
+    assert set(engine._grid_refresh) == {"coarse", "fine"}
+
+    result = engine.demo()
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])
+
+
+def test_engine_rejects_bad_from_stage(tmp_path):
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="coarse_free_from_stage"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, coarse_free_from_stage=3)))

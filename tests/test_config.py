@@ -138,6 +138,7 @@ model:
         occ_map_dtype: 'int8'
         coarse_free: True
         occ_pmf: 'density'
+        coarse_free_from_stage: 2
 """
     )
     cfg = load_yaml(str(p))
@@ -164,6 +165,7 @@ model:
     assert cfg.nerf.occ_map_dtype == "int8"
     assert cfg.nerf.coarse_free is True
     assert cfg.nerf.occ_pmf == "density"
+    assert cfg.nerf.coarse_free_from_stage == 2
 
 
 def test_stage_of_epoch():
