@@ -200,8 +200,8 @@ class NerfConfig:
     # occupancy grid the 4x128 coarse MLP is a proposal distribution the
     # grid already provides — draw the fine samples directly from the
     # occupancy PMF and skip the coarse pass entirely (train AND eval).
-    # The grid then refreshes from the FINE MLP's density; the coarse MLP
-    # never trains and the rgb_c loss term is dropped.  Requires
+    # The grid then refreshes per ``occ_refresh_source``; the coarse MLP
+    # stops training and the rgb_c loss term is dropped.  Requires
     # occ_grid_size > 0 and fine_mode="importance".  Quality/throughput
     # evidence: BASELINE.md round-4 coarse-free A/B.
     coarse_free: bool = False
@@ -231,6 +231,19 @@ class NerfConfig:
     # (cf16/cf32 plateaued at 6 PSNR on the Array rig, BASELINE.md round 4);
     # requires occ_map_dtype="bfloat16" (the map carries magnitudes).
     occ_pmf: str = "binary"
+    # which MLP's density the grid refresh probes during COARSE-FREE stages
+    # (extension; two-pass stages always refresh from the coarse MLP):
+    # "fine" — follow the training field (the fine MLP is the only one
+    # training there); "coarse" — FREEZE the proposal at the coarse MLP's
+    # last trained state (hybrid schedule only: requires a trained coarse,
+    # i.e. coarse_free_from_stage=2).  "fine" closes a feedback loop —
+    # the fine MLP is supervised only ON the PMF support, drifts freely off
+    # it, and the grid EMA then absorbs that drift into the next epoch's
+    # proposal (measured: Array hyb32_16 fell 12.5 -> 9.8 val PSNR over 4
+    # coarse-free epochs, BASELINE.md round 4).  "auto" = the measured
+    # winner per schedule (currently: "coarse" when a trained coarse
+    # exists, "fine" otherwise).
+    occ_refresh_source: str = "auto"
 
     @property
     def samples_fine_grid(self) -> int:
@@ -241,6 +254,20 @@ class NerfConfig:
         1 = GLOBAL_OPTIM, 2 = FINE_TUNE)?  Eval always uses the terminal
         mode (``coarse_free`` itself)."""
         return self.coarse_free and stage >= self.coarse_free_from_stage
+
+    def refresh_source(self, stage: int) -> str:
+        """Which MLP ("coarse"/"fine") the occupancy-grid refresh probes at
+        this engine stage.  Two-pass stages always probe the coarse MLP (it
+        is the proposal network there); coarse-free stages follow
+        ``occ_refresh_source``."""
+        if not self.coarse_free_at(stage):
+            return "coarse"
+        if self.occ_refresh_source != "auto":
+            return self.occ_refresh_source
+        # auto: freeze at the trained coarse when one exists (hybrid);
+        # pure coarse-free never trains the coarse MLP, so only the fine
+        # field can drive the grid there
+        return "fine" if self.coarse_free_from_stage == 1 else "coarse"
 
     @property
     def samples_fine(self) -> int:
@@ -270,6 +297,14 @@ class EvalConfig:
     # an imp32-trained model, scripts/dev_eval_ab.py)
     importance_samples: int = 32     # fine samples/ray for fine_mode="importance"
     use_pallas: Optional[bool] = None  # fused MLP kernel; None = auto (TPU only)
+    # eval-side coarse-free override (extension): None follows
+    # nerf.coarse_free; False renders a coarse-free-TRAINED model through
+    # the classic two-pass pipeline (the coarse MLP from the hybrid
+    # schedule's GLOBAL_OPTIM stage proposes, the fine MLP shades) — a
+    # deployment choice, and the diagnostic that separates "field
+    # degraded" from "grid-PMF eval too sparse"; True forces grid-PMF
+    # eval of a two-pass-trained model (requires occ culling).
+    coarse_free: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -323,6 +358,13 @@ class Config:
     def scene_dir(self) -> str:
         """<data_root>/<data_name>, the directory holding transforms_*.json."""
         return os.path.join(self.data_root, self.data_name)
+
+    @property
+    def eval_coarse_free(self) -> bool:
+        """Effective coarse-free flag for eval/demo renders
+        (``eval.coarse_free`` override, else the train-side mode)."""
+        ecf = self.eval.coarse_free
+        return self.nerf.coarse_free if ecf is None else ecf
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -418,6 +460,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
         occ_pmf=get(model, "nerf", "occ_pmf", default=cfg.nerf.occ_pmf),
         coarse_free_from_stage=get(model, "nerf", "coarse_free_from_stage",
                                    default=cfg.nerf.coarse_free_from_stage),
+        occ_refresh_source=get(model, "nerf", "occ_refresh_source",
+                               default=cfg.nerf.occ_refresh_source),
     )
     evalc = dataclasses.replace(
         cfg.eval,
@@ -432,6 +476,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                            default=cfg.eval.rays_per_chunk),
         use_pallas=get(sys_info, "test_params", "use_pallas",
                        default=cfg.eval.use_pallas),
+        coarse_free=get(sys_info, "test_params", "coarse_free",
+                        default=cfg.eval.coarse_free),
     )
     paths = dataclasses.replace(
         cfg.paths,

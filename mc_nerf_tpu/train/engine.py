@@ -113,6 +113,29 @@ class Engine:
                 "nerf.occ_pmf='density' requires occ_map_dtype='bfloat16' — "
                 "the sampler map carries density magnitudes, not {0,1}"
             )
+        if cfg.nerf.occ_refresh_source not in ("auto", "coarse", "fine"):
+            raise ValueError(
+                f"unknown nerf.occ_refresh_source: "
+                f"{cfg.nerf.occ_refresh_source!r} (auto | coarse | fine)"
+            )
+        if (
+            cfg.nerf.occ_refresh_source == "coarse"
+            and cfg.nerf.coarse_free
+            and cfg.nerf.coarse_free_from_stage == 1
+        ):
+            raise ValueError(
+                "occ_refresh_source='coarse' needs a trained coarse MLP, but "
+                "coarse_free_from_stage=1 never trains one — use the hybrid "
+                "schedule (coarse_free_from_stage=2) or source 'fine'"
+            )
+        if cfg.eval.coarse_free and (
+            cfg.nerf.occ_grid_size <= 0 or cfg.eval.fine_mode != "importance"
+        ):
+            raise ValueError(
+                "eval.coarse_free=True requires occ_grid_size > 0 and "
+                "eval.fine_mode='importance' — the occupancy grid is the "
+                "sampling proposal"
+            )
         setup_logging(cfg.paths.log_path, cfg.log_to_file)
         logging.info("Loading scene: %s", cfg.scene_dir)
         self.scene = scene or load_scene(cfg.scene_dir, load_test_images=(cfg.mode == 1))
@@ -234,10 +257,10 @@ class Engine:
         """(ema_refresh, fresh_refresh) jitted closures over the config,
         per density ``source`` ("coarse" / "fine").
 
-        Coarse-free epochs derive the grid from the FINE MLP — the coarse
-        MLP never trains there (nerf.py render_rays_train coarse_free);
-        under the hybrid schedule (``coarse_free_from_stage=2``) the
-        GLOBAL_OPTIM epochs still refresh from the coarse MLP."""
+        Two-pass epochs always refresh from the coarse MLP (the proposal
+        network); coarse-free epochs follow ``nerf.occ_refresh_source``
+        (see NerfConfig — refreshing from the training fine field closes
+        a measured feedback loop under the hybrid schedule)."""
         if source not in self._grid_refresh:
             nc = self.cfg.nerf
             cd = jnp.dtype(self.cfg.compute_dtype)
@@ -266,9 +289,9 @@ class Engine:
 
     def _refresh_occupancy(self, epoch: int) -> None:
         """Refresh the EMA grid + sampler map from the density MLP (coarse,
-        or fine in coarse-free epochs — ``coarse_free_at``)."""
+        or per ``occ_refresh_source`` in coarse-free epochs)."""
         stage = self.cfg.stages.stage_of_epoch(epoch)
-        source = "fine" if self.cfg.nerf.coarse_free_at(stage) else "coarse"
+        source = self.cfg.nerf.refresh_source(stage)
         ema, fresh = self._grid_refresh_fns(source)
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.train.seed ^ 0x0CC), epoch)
         nerf = self.state.params.nerf
@@ -583,8 +606,9 @@ class Engine:
             epoch + 1 - cfg.stages.cam_param_epochs
         ) * self.steps_per_epoch
         if self._occ_eval and nerf_steps_at_ckpt >= cfg.nerf.occ_warmup_steps:
-            # derive the occupancy map from the restored coarse MLP (the
-            # grid is never checkpointed; one lattice eval rebuilds it)
+            # derive the occupancy map from the restored MLP — coarse, or
+            # fine when the checkpoint's stage is coarse-free (the grid is
+            # never checkpointed; one lattice eval rebuilds it)
             self.occ_grid = None
             self._refresh_occupancy(epoch)
             occ = self._occ2d
@@ -594,7 +618,7 @@ class Engine:
                 "(%d NeRF steps trained) — rendering without occupancy culling",
                 epoch, cfg.nerf.occ_warmup_steps, max(0, nerf_steps_at_ckpt),
             )
-            if cfg.nerf.coarse_free:
+            if cfg.eval_coarse_free:
                 # coarse-free cannot render occ-less (the grid IS the
                 # sampling proposal): fall back to the uniform prior
                 # (= uniform sampling), the same state train-side warmup uses

@@ -328,7 +328,7 @@ def make_render_fn(
             importance_samples=cfg.eval.importance_samples,
             packed=packed,
             occ=occ,
-            coarse_free=cfg.nerf.coarse_free,
+            coarse_free=cfg.eval_coarse_free,
         )
 
     if mesh is not None:

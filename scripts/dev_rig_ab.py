@@ -68,8 +68,33 @@ CONFIGS = {
     # --- round-4 HYBRID schedule (coarse_free_from_stage=2): two-pass
     # while BARF ramps (GLOBAL_OPTIM), grid-proposal coarse-free in
     # FINE_TUNE — coarse-free from scratch cannot bootstrap (BASELINE.md)
-    "hyb32_16": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density"),
-    "hyb48_32": dict(occ=48, imp=32, cf=True, cf_stage=2, pmf="density"),
+    "hyb32_16": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                     refresh="fine"),
+    "hyb48_32": dict(occ=48, imp=32, cf=True, cf_stage=2, pmf="density",
+                     refresh="fine"),
+    # --- round-4 hybrid FIX candidates.  The take-3 hybrid (refresh from
+    # the fine MLP during coarse-free FINE_TUNE) fails: the fine field is
+    # supervised only ON the PMF support, drifts off it, and the grid EMA
+    # feeds the drift back (Array 7.84 PSNR vs 18.08 two-pass; val PSNR
+    # falls monotonically across cf epochs on a fixed view).  hybf* FREEZES
+    # the proposal at the GLOBAL_OPTIM-trained coarse MLP
+    # (occ_refresh_source="coarse").  seed_from reuses another config's
+    # checkpoints up to seed_upto (the stages before the knob differ are
+    # bit-identical), so each variant costs only the FINE_TUNE epochs.
+    "hybf32_16": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                      refresh="coarse", seed_from="hyb32_16", seed_upto=25),
+    "hybf48_32": dict(occ=48, imp=32, cf=True, cf_stage=2, pmf="density",
+                      refresh="coarse", seed_from="hyb48_32", seed_upto=25),
+    # eval-path diagnostics on EXISTING checkpoints (train is a resume
+    # no-op): two-pass eval of hybrid-trained fields, denser cf eval
+    "hyb32_16_ev2p": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                          seed_from="hyb32_16", eval_cf=False),
+    "hybf32_16_ev2p": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                           refresh="coarse", seed_from="hybf32_16",
+                           eval_cf=False),
+    "hybf32_16_ev64": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                           refresh="coarse", seed_from="hybf32_16",
+                           eval_imp=64),
 }
 
 
@@ -98,6 +123,29 @@ def run_one(rig: str, config: str) -> dict:
 
     c = CONFIGS[config]
     out = os.path.join(ROOT, f"{rig}_{config}")
+    seed_src = c.get("seed_from")
+    scene = f"{rig.capitalize()}_Spheres"
+    if seed_src and not os.path.exists(os.path.join(out, "weights")):
+        # seed from another config's checkpoints (identical up to the knob
+        # under test); keep only epochs <= seed_upto so resume starts there
+        import shutil
+
+        src = os.path.join(ROOT, f"{rig}_{seed_src}", "weights", "train", scene)
+        if os.path.isdir(src):
+            dst = os.path.join(out, "weights", "train", scene)
+            upto = c.get("seed_upto")
+            keep = [
+                d for d in os.listdir(src)
+                if not d.isdigit() or upto is None or int(d) <= upto
+            ]
+            os.makedirs(dst, exist_ok=True)
+            for d in keep:
+                shutil.copytree(os.path.join(src, d), os.path.join(dst, d))
+            print(f"seeded {config} from {seed_src} (epochs {sorted(keep)})",
+                  flush=True)
+        else:
+            print(f"seed source {src} missing — training from scratch",
+                  flush=True)
     cfg = Config(
         data_root=os.path.join(ROOT, "data"),
         data_name=f"{rig.capitalize()}_Spheres",
@@ -113,8 +161,13 @@ def run_one(rig: str, config: str) -> dict:
             coarse_free=c.get("cf", False),
             coarse_free_from_stage=c.get("cf_stage", 1),
             occ_pmf=c.get("pmf", "binary"),
+            occ_refresh_source=c.get("refresh", "auto"),
         ),
-        eval=EvalConfig(res_h=RES, res_w=RES, importance_samples=c["imp"]),
+        eval=EvalConfig(
+            res_h=RES, res_w=RES,
+            importance_samples=c.get("eval_imp", c["imp"]),
+            coarse_free=c.get("eval_cf", None),
+        ),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),
             root_out=os.path.join(out, "results"),

@@ -209,12 +209,22 @@ def test_coarse_free_at_stage_logic():
     assert not off.coarse_free_at(2)
 
 
-def test_engine_hybrid_coarse_free_cycle(tmp_path):
+@pytest.mark.parametrize(
+    "refresh,expect_sources",
+    [
+        # auto freezes the proposal at the trained coarse MLP under the
+        # hybrid schedule (refresh-from-fine closes a measured feedback
+        # loop: Array hyb32_16 7.84 vs 18.08 PSNR, BASELINE.md round 4)
+        ("auto", {"coarse"}),
+        ("fine", {"coarse", "fine"}),
+    ],
+)
+def test_engine_hybrid_coarse_free_cycle(tmp_path, refresh, expect_sources):
     """HYBRID schedule (coarse_free_from_stage=2): GLOBAL_OPTIM trains the
     full two-pass pipeline (grid refreshes from the COARSE MLP), FINE_TUNE
-    switches to the grid proposal (refreshes from the FINE MLP), demo
-    renders coarse-free.  Coarse-free from scratch cannot bootstrap
-    (BASELINE.md round 4); this is the quality-preserving deployment."""
+    switches to the grid proposal, demo renders coarse-free.  Coarse-free
+    from scratch cannot bootstrap (BASELINE.md round 4); this is the
+    quality-preserving deployment."""
     from mc_nerf_tpu.data.synthetic import make_dataset
     from mc_nerf_tpu.train.engine import Engine
 
@@ -227,15 +237,90 @@ def test_engine_hybrid_coarse_free_cycle(tmp_path):
         nerf=dataclasses.replace(
             cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
             coarse_free_from_stage=2, occ_probes=16,
+            occ_refresh_source=refresh,
         ),
     )
     engine = Engine(cfg)
     state = engine.train()
     assert int(state.step) == engine.steps_per_epoch * 3
-    # both refresh sources ran: coarse (stage 1) then fine (stage 2)
-    assert set(engine._grid_refresh) == {"coarse", "fine"}
+    assert set(engine._grid_refresh) == expect_sources
 
     result = engine.demo()
+    assert result["count"] == 2
+    assert np.isfinite(result["psnr"])
+
+
+def test_refresh_source_policy():
+    hyb = NerfConfig(coarse_free=True, coarse_free_from_stage=2)
+    assert hyb.refresh_source(1) == "coarse"   # two-pass stage
+    assert hyb.refresh_source(2) == "coarse"   # auto: freeze at coarse
+    pure = NerfConfig(coarse_free=True)        # from_stage=1, no coarse ever
+    assert pure.refresh_source(1) == "fine"
+    assert pure.refresh_source(2) == "fine"
+    pinned = NerfConfig(
+        coarse_free=True, coarse_free_from_stage=2, occ_refresh_source="fine"
+    )
+    assert pinned.refresh_source(1) == "coarse"  # two-pass stages unaffected
+    assert pinned.refresh_source(2) == "fine"
+    off = NerfConfig(coarse_free=False, occ_refresh_source="fine")
+    assert off.refresh_source(2) == "coarse"     # knob only binds coarse-free
+
+
+def test_engine_rejects_bad_refresh_source(tmp_path):
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="occ_refresh_source"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_refresh_source="ema")))
+    # source="coarse" without a trained coarse MLP (pure coarse-free)
+    with pytest.raises(ValueError, match="trained coarse"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, coarse_free=True,
+            coarse_free_from_stage=1, occ_refresh_source="coarse")))
+
+
+def test_engine_rejects_eval_coarse_free_without_grid(tmp_path):
+    from mc_nerf_tpu.config import EvalConfig
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="eval.coarse_free"):
+        Engine(cfg.replace(
+            eval=dataclasses.replace(cfg.eval, coarse_free=True),
+            nerf=dataclasses.replace(cfg.nerf, occ_grid_size=0),
+        ))
+
+
+def test_hybrid_demo_two_pass_eval_override(tmp_path):
+    """eval.coarse_free=False on a hybrid-TRAINED model: the demo renders
+    through the classic two-pass pipeline (coarse MLP from GLOBAL_OPTIM
+    proposes) — the deployment that keeps two-pass eval quality while the
+    FINE_TUNE steps ran at the coarse-free rate."""
+    from mc_nerf_tpu.data.synthetic import make_dataset
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    d = str(tmp_path / "scene" / "Tiny_HYB2P")
+    make_dataset(d, n_train=5, n_val=2, n_test=2, img_h=24, img_w=24, seed=7)
+    cfg = small_cfg(d, str(tmp_path / "out"))
+    cfg = cfg.replace(
+        nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
+            coarse_free_from_stage=2, occ_probes=16,
+        ),
+    )
+    Engine(cfg).train()
+    demo_cfg = cfg.replace(
+        mode=1, eval=dataclasses.replace(cfg.eval, coarse_free=False)
+    )
+    assert demo_cfg.eval_coarse_free is False and demo_cfg.nerf.coarse_free
+    result = Engine(demo_cfg).demo()
     assert result["count"] == 2
     assert np.isfinite(result["psnr"])
 

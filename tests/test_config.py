@@ -124,6 +124,7 @@ system:
         importance_samples: 48
         rays_per_chunk: 8192
         use_pallas: False
+        coarse_free: False
 model:
     nerf:
         occ_grid_size: 32
@@ -139,6 +140,7 @@ model:
         coarse_free: True
         occ_pmf: 'density'
         coarse_free_from_stage: 2
+        occ_refresh_source: 'fine'
 """
     )
     cfg = load_yaml(str(p))
@@ -166,6 +168,10 @@ model:
     assert cfg.nerf.coarse_free is True
     assert cfg.nerf.occ_pmf == "density"
     assert cfg.nerf.coarse_free_from_stage == 2
+    assert cfg.nerf.occ_refresh_source == "fine"
+    assert cfg.eval.coarse_free is False
+    # the eval-side override beats the train-side mode
+    assert cfg.eval_coarse_free is False
 
 
 def test_stage_of_epoch():
