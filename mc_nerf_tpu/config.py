@@ -244,6 +244,17 @@ class NerfConfig:
     # winner per schedule (currently: "coarse" when a trained coarse
     # exists, "fine" otherwise).
     occ_refresh_source: str = "auto"
+    # coarse-free TRAIN-side mixture proposal (extension): replace this
+    # many of the K fine samples with STRATIFIED-UNIFORM samples over
+    # [near, far] (constant per-step budget; the rest draw from the grid
+    # PMF as usual).  Pure-PMF coarse-free training supervises the fine
+    # field only ON the PMF support — off it the density drifts freely,
+    # and the field itself degrades (measured: Array hybrid ev2p 7.86 vs
+    # 18.08 PSNR even under two-pass eval, BASELINE.md round 4).  The
+    # uniform fraction composites through empty space every step, pinning
+    # it down exactly the way the two-pass coarse pass does.  Eval keeps
+    # the pure PMF (exploration is a training need).  0 disables.
+    cf_uniform_samples: int = 0
 
     @property
     def samples_fine_grid(self) -> int:
@@ -462,6 +473,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                                    default=cfg.nerf.coarse_free_from_stage),
         occ_refresh_source=get(model, "nerf", "occ_refresh_source",
                                default=cfg.nerf.occ_refresh_source),
+        cf_uniform_samples=get(model, "nerf", "cf_uniform_samples",
+                               default=cfg.nerf.cf_uniform_samples),
     )
     evalc = dataclasses.replace(
         cfg.eval,

@@ -31,7 +31,7 @@ from mc_nerf_tpu.ops.pallas.fused_mlp import (
     fused_shaded_mlp,
     pack_mlp_params,
 )
-from mc_nerf_tpu.ops.occupancy import proposal_pmf
+from mc_nerf_tpu.ops.occupancy import mixture_samples, proposal_pmf
 from mc_nerf_tpu.ops.pallas.fused_render import fused_render
 from mc_nerf_tpu.ops.volume import (
     composite,
@@ -201,10 +201,14 @@ def render_rays_train(
         )
         basis = sh_basis(cfg.sh_deg, rays_d)
         z_probe, pmf = proposal_pmf(occ, rays_o, rays_d, cfg)
-        z_f = jnp.clip(
-            sample_pdf(z_probe, pmf, importance_samples, key=kn_pdf),
-            cfg.near, cfg.far,
-        )                                                           # [R, K]
+        # mixture proposal (train only): cf_uniform_samples of the K are
+        # stratified-uniform so empty space stays supervised — without
+        # them the fine field is trained only ON the PMF support and
+        # drifts freely off it (ops/occupancy.mixture_samples)
+        z_f = mixture_samples(
+            z_probe, pmf, importance_samples, cfg.cf_uniform_samples,
+            kn_pdf, kn_sel, cfg.near, cfg.far,
+        )                                                       # [R, K]
         if use_pallas:
             nb = (cfg.sh_deg + 1) ** 2
             basis16 = jnp.pad(basis, ((0, 0), (0, BASIS_LANES - nb)))

@@ -331,6 +331,44 @@ def density_pmf(
     return z, pmf
 
 
+def mixture_samples(
+    z_probe: jnp.ndarray,
+    pmf: jnp.ndarray,
+    n_samples: int,
+    n_uniform: int,
+    key_pdf: jax.Array,
+    key_u: jax.Array,
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Coarse-free fine depths: (K - ku) inverse-CDF draws from the grid
+    PMF plus ku STRATIFIED-UNIFORM draws over [near, far], sorted per ray
+    (compositing needs monotone z).  Constant total budget K.
+
+    The uniform fraction is a training need, not an eval one: pure-PMF
+    coarse-free training supervises the fine field only ON the PMF
+    support, so its density drifts freely off it and the field itself
+    degrades (Array hybrid ev2p 7.86 vs 18.08 PSNR, BASELINE.md round 4).
+    A stratified sample through empty space composites every step and
+    pins it down — the same signal the two-pass coarse pass provides.
+    ``n_uniform`` clamps to [0, K-1]; 0 reduces to the pure PMF draw.
+    """
+    from mc_nerf_tpu.ops.volume import sample_pdf
+
+    ku = min(max(n_uniform, 0), n_samples - 1)
+    z = jnp.clip(sample_pdf(z_probe, pmf, n_samples - ku, key=key_pdf),
+                 near, far)                                    # [R, K-ku]
+    if ku == 0:
+        return z
+    n_rays = z.shape[0]
+    u = (
+        jnp.arange(ku, dtype=jnp.float32)[None, :]
+        + jax.random.uniform(key_u, (n_rays, ku), jnp.float32)
+    ) / ku
+    z_u = near + (far - near) * u
+    return jnp.sort(jnp.concatenate([z, z_u], axis=-1), axis=-1)
+
+
 def proposal_pmf(
     occ2d: jnp.ndarray,
     rays_o: jnp.ndarray,

@@ -95,6 +95,35 @@ CONFIGS = {
     "hybf32_16_ev64": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
                            refresh="coarse", seed_from="hybf32_16",
                            eval_imp=64),
+    # two-pass eval of the SHARED epoch-25 checkpoint (GLOBAL_OPTIM end,
+    # zero coarse-free epochs): the field-quality upper bound any
+    # FINE_TUNE variant should beat — if ep31 ev2p scores BELOW this, the
+    # coarse-free epochs damaged the field itself; if both sit well under
+    # the 18.08 two-pass-trained comparator, the gap is the two-pass
+    # FINE_TUNE epochs' contribution
+    "hyb32_16_ep25_ev2p": dict(occ=32, imp=16, cf=True, cf_stage=2,
+                               pmf="density", seed_from="hyb32_16",
+                               eval_cf=False, demo_ckpt="25"),
+    # --- MIXTURE proposal (cf_uniform_samples): the ev2p diagnostic showed
+    # the coarse-free FINE_TUNE degrades the FIELD itself (7.86 PSNR even
+    # under two-pass eval) — pure-PMF sampling never supervises empty
+    # space.  uN = N of the 16 fine samples drawn stratified-uniform.
+    "hybm32_16u4": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                        cf_uniform=4, seed_from="hyb32_16", seed_upto=25),
+    "hybm32_16u8": dict(occ=32, imp=16, cf=True, cf_stage=2, pmf="density",
+                        cf_uniform=8, seed_from="hyb32_16", seed_upto=25),
+    # mixture-trained field scored through the two-pass pipeline
+    "hybm32_16u4_ev2p": dict(occ=32, imp=16, cf=True, cf_stage=2,
+                             pmf="density", cf_uniform=4,
+                             seed_from="hybm32_16u4", eval_cf=False),
+    "hybm32_16u8_ev2p": dict(occ=32, imp=16, cf=True, cf_stage=2,
+                             pmf="density", cf_uniform=8,
+                             seed_from="hybm32_16u8", eval_cf=False),
+    # CONTROL: two-pass FINE_TUNE continuation of the IDENTICAL epoch-25
+    # seed (the published 18.08 comparator ran pmf=binary end-to-end, so
+    # it is not the all-else-equal control for the cf takes)
+    "hyb32_16_2p_ft": dict(occ=32, imp=16, pmf="density",
+                           seed_from="hyb32_16", seed_upto=25),
 }
 
 
@@ -162,11 +191,13 @@ def run_one(rig: str, config: str) -> dict:
             coarse_free_from_stage=c.get("cf_stage", 1),
             occ_pmf=c.get("pmf", "binary"),
             occ_refresh_source=c.get("refresh", "auto"),
+            cf_uniform_samples=c.get("cf_uniform", 0),
         ),
         eval=EvalConfig(
             res_h=RES, res_w=RES,
             importance_samples=c.get("eval_imp", c["imp"]),
             coarse_free=c.get("eval_cf", None),
+            demo_ckpt=c.get("demo_ckpt", ""),
         ),
         paths=PathsConfig(
             root_weights=os.path.join(out, "weights"),

@@ -250,6 +250,78 @@ def test_engine_hybrid_coarse_free_cycle(tmp_path, refresh, expect_sources):
     assert np.isfinite(result["psnr"])
 
 
+def test_mixture_proposal_renders_and_matches_budget():
+    """cf_uniform_samples replaces (never adds to) PMF samples: the render
+    is finite, and ku=0 is byte-identical to the pre-knob behavior."""
+    cfg, params, rd, ro, occ = _setup(n_rays=32)
+    key = jax.random.PRNGKey(3)
+    kwargs = dict(
+        barf_window=(0.0, 1.0), barf_on=False, compute_dtype=jnp.float32,
+        fine_mode="importance", importance_samples=16, occ=occ,
+        coarse_free=True,
+    )
+    _, rgb_base = render_rays_train(
+        params, rd, ro, key, jnp.float32(1.0), cfg, **kwargs
+    )
+    cfg0 = dataclasses.replace(cfg, cf_uniform_samples=0)
+    _, rgb0 = render_rays_train(
+        params, rd, ro, key, jnp.float32(1.0), cfg0, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(rgb_base), np.asarray(rgb0))
+
+    cfg4 = dataclasses.replace(cfg, cf_uniform_samples=4)
+    _, rgb4 = render_rays_train(
+        params, rd, ro, key, jnp.float32(1.0), cfg4, **kwargs
+    )
+    r4 = np.asarray(rgb4)
+    assert r4.shape == (32, 3) and np.all(np.isfinite(r4))
+    assert not np.array_equal(r4, np.asarray(rgb_base))
+
+    # the knob clamps: ku >= K falls back to K-1 uniform + 1 PMF sample,
+    # and a negative value never INCREASES the PMF draw
+    for bad in (99, -3):
+        cfgb = dataclasses.replace(cfg, cf_uniform_samples=bad)
+        _, rgbb = render_rays_train(
+            params, rd, ro, key, jnp.float32(1.0), cfgb, **kwargs
+        )
+        assert np.all(np.isfinite(np.asarray(rgbb)))
+
+
+def test_mixture_samples_cover_off_support_space():
+    """``mixture_samples`` guarantees coverage of space the PMF never
+    proposes.  A PMF concentrated in one far bin sends (almost) all pure
+    draws there; the mixture must still place samples in every stratum of
+    [near, far], sorted per ray."""
+    from mc_nerf_tpu.ops.occupancy import mixture_samples
+
+    n_rays, n_probe, K, ku = 8, 32, 16, 8
+    near, far = 2.0, 6.0
+    z_probe = jnp.tile(
+        jnp.linspace(near, far, n_probe)[None, :], (n_rays, 1)
+    )
+    pmf = jnp.zeros((n_rays, n_probe)).at[:, -2].set(1.0)  # one far spike
+    kp, kn = jax.random.split(jax.random.PRNGKey(5))
+    z_pure = np.asarray(
+        mixture_samples(z_probe, pmf, K, 0, kp, kn, near, far)
+    )
+    z_mix = np.asarray(
+        mixture_samples(z_probe, pmf, K, ku, kp, kn, near, far)
+    )
+    assert z_pure.shape == z_mix.shape == (n_rays, K)
+    assert np.all(np.diff(z_mix, axis=-1) >= 0)  # sorted (compositing)
+    mid = near + 0.5 * (far - near)
+    # pure draws cluster at the spike (the sample_pdf eps floor leaks a
+    # trickle); the mixture guarantees ku/2 samples in the near half
+    assert (z_mix < mid).sum(axis=-1).min() >= ku // 2
+    assert (z_pure < mid).mean() < (z_mix < mid).mean()
+    # clamp semantics: ku >= K and ku < 0 still return [R, K] finite
+    for bad in (K + 5, -2):
+        zb = np.asarray(
+            mixture_samples(z_probe, pmf, K, bad, kp, kn, near, far)
+        )
+        assert zb.shape == (n_rays, K) and np.all(np.isfinite(zb))
+
+
 def test_refresh_source_policy():
     hyb = NerfConfig(coarse_free=True, coarse_free_from_stage=2)
     assert hyb.refresh_source(1) == "coarse"   # two-pass stage

@@ -141,6 +141,7 @@ model:
         occ_pmf: 'density'
         coarse_free_from_stage: 2
         occ_refresh_source: 'fine'
+        cf_uniform_samples: 4
 """
     )
     cfg = load_yaml(str(p))
@@ -169,6 +170,7 @@ model:
     assert cfg.nerf.occ_pmf == "density"
     assert cfg.nerf.coarse_free_from_stage == 2
     assert cfg.nerf.occ_refresh_source == "fine"
+    assert cfg.nerf.cf_uniform_samples == 4
     assert cfg.eval.coarse_free is False
     # the eval-side override beats the train-side mode
     assert cfg.eval_coarse_free is False
