@@ -226,10 +226,14 @@ class NerfConfig:
     # "binary" — occupancy {0,1} + floor (piecewise-uniform over occupied
     # cells); "density" — compositing weights T*alpha built from the probed
     # EMA density itself (a grid-based coarse pass at zero MLP cost), so
-    # samples concentrate at surfaces.  Density mode exists because the
-    # binary PMF cannot localize surfaces at sparse coarse-free budgets
-    # (cf16/cf32 plateaued at 6 PSNR on the Array rig, BASELINE.md round 4);
-    # requires occ_map_dtype="bfloat16" (the map carries magnitudes).
+    # samples concentrate at surfaces.  WARNING: density mode is measured
+    # HARMFUL for TRAINING — inverse-CDF concentration starves the field
+    # of spread empty-space supervision (two-pass FINE_TUNE under it
+    # collapses 12.0 -> 8.1 PSNR where binary holds; a density-GLOBAL seed
+    # cannot be lifted even by binary fine-tuning — BASELINE.md round-4
+    # controls).  Keep "binary" for training; density remains available
+    # for eval-side sampling experiments.  Requires
+    # occ_map_dtype="bfloat16" (the map carries magnitudes).
     occ_pmf: str = "binary"
     # which MLP's density the grid refresh probes during COARSE-FREE stages
     # (extension; two-pass stages always refresh from the coarse MLP):

@@ -124,6 +124,12 @@ CONFIGS = {
     # it is not the all-else-equal control for the cf takes)
     "hyb32_16_2p_ft": dict(occ=32, imp=16, pmf="density",
                            seed_from="hyb32_16", seed_upto=25),
+    # SECOND CONTROL: the density two-pass control ALSO collapsed (8.13) —
+    # so the failure is not coarse-free-specific.  Binary-PMF continuation
+    # of the same seed discriminates density-PMF concentration (recovers
+    # here) from a resume-path defect (fails here too).
+    "hyb32_16_2p_ftb": dict(occ=32, imp=16, pmf="binary",
+                            seed_from="hyb32_16", seed_upto=25),
 }
 
 
