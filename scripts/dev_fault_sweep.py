@@ -40,7 +40,11 @@ DEFAULT_OUT = os.path.join(REPO, "benchmarks", "fused_fault_sweep.jsonl")
 
 
 def _probe_cell(s: int, rays: int, block_r: int, fwd_only: bool,
-                raw: bool, timeout: int = 420) -> dict:
+                raw: bool, timeout: int = 900) -> dict:
+    # timeout must clear a full cold compile over the tunnel: healthy
+    # cells measured ~400 s when the block_r geometry changes (round-4
+    # sweep), so 420 s misclassified a slow compile as a fault — and the
+    # resulting SIGKILL mid-RPC can wedge the shared worker for ~40 min
     """Run one geometry in a subprocess; classify ok / fault / timeout."""
     cmd = [sys.executable, os.path.join(REPO, "scripts", "dev_fault_repro.py"),
            "--s", str(s), "--rays", str(rays)]
@@ -96,7 +100,10 @@ def cmd_run(args) -> None:
     if os.path.exists(args.out) and not args.fresh:
         for line in open(args.out):
             r = json.loads(line)
-            done.add((r["s"], r["rays"], r["block_r"], r["mode"], r["raw"]))
+            # only OK cells are settled; faults/timeouts are retried on a
+            # re-run (a timeout can be a misclassified slow compile)
+            if r["status"] == "ok":
+                done.add((r["s"], r["rays"], r["block_r"], r["mode"], r["raw"]))
 
     cells = []
     for s in range(args.s_min, args.s_max + 1, 8):
