@@ -65,17 +65,20 @@ struct ThreshMap {
   bool tile_valid(int x, int y) const {
     return valid[(size_t)(y / kTile) * tw + (x / kTile)] != 0;
   }
-  // bilinear between tile centers: smooth threshold for subpixel work
+  // bilinear between tile centers: smooth threshold for subpixel work.
+  // Degenerate grids (tw==1 or th==1 — images 8..16 px in a dimension pass
+  // the h,w >= 8 guard) collapse that axis to the single tile instead of
+  // indexing one past it.
   float at(double x, double y) const {
     double u = x / kTile - 0.5, v = y / kTile - 0.5;
-    u = u < 0 ? 0 : (u > tw - 1.001 ? tw - 1.001 : u);
-    v = v < 0 ? 0 : (v > th - 1.001 ? th - 1.001 : v);
-    int u0 = (int)u, v0 = (int)v;
-    double fu = u - u0, fv = v - v0;
-    const float* row0 = &t[(size_t)v0 * tw + u0];
-    const float* row1 = row0 + tw;
-    return (float)((row0[0] * (1 - fu) + row0[1] * fu) * (1 - fv) +
-                   (row1[0] * (1 - fu) + row1[1] * fu) * fv);
+    int u0 = tw > 1 ? std::min(std::max((int)u, 0), tw - 2) : 0;
+    int v0 = th > 1 ? std::min(std::max((int)v, 0), th - 2) : 0;
+    double fu = tw > 1 ? std::min(std::max(u - u0, 0.0), 1.0) : 0.0;
+    double fv = th > 1 ? std::min(std::max(v - v0, 0.0), 1.0) : 0.0;
+    const size_t du = tw > 1 ? 1 : 0, dv = th > 1 ? (size_t)tw : 0;
+    const float* p = &t[(size_t)v0 * tw + u0];
+    return (float)((p[0] * (1 - fu) + p[du] * fu) * (1 - fv) +
+                   (p[dv] * (1 - fu) + p[dv + du] * fu) * fv);
   }
 };
 
@@ -151,6 +154,16 @@ bool build_thresh_map(const uint8_t* gray, int h, int w, ThreshMap* m) {
     }
     filled.swap(next);
     if (done || !progress) break;
+  }
+  // a contrast-free tile whose pixels all sit BELOW its propagated
+  // threshold is the uniform interior of a black region, not background:
+  // mark it dark-valid so the border ring of a very large tag (black band
+  // wider than the 3x3-tile contrast window, tags over ~380 px) stays one
+  // connected component instead of splitting into arcs.  Background tiles
+  // are at the white level of their local context (their max is ABOVE the
+  // propagated midpoint), so uneven lighting cannot fuse them back in.
+  for (size_t i = 0; i < nt; ++i) {
+    if (!m->valid[i] && filled[i] && tmax[i] < m->t[i]) m->valid[i] = 1;
   }
   return true;
 }

@@ -118,7 +118,9 @@ class FlatRAdam:
         return p_flat - lr * upd, FlatOptState(mu=mu, nu=nu, count=count)
 
 
-def _stage_labels(params: Params, stage: int) -> Params:
+def _stage_labels(
+    params: Params, stage: int, freeze_coarse: bool = False
+) -> Params:
     """'train' / 'freeze' labels per leaf for one stage."""
 
     def fill(tree, label):
@@ -126,17 +128,27 @@ def _stage_labels(params: Params, stage: int) -> Params:
 
     if stage == 0:
         return Params(cam=fill(params.cam, "train"), nerf=fill(params.nerf, "freeze"))
-    if stage == 1:
-        return Params(cam=fill(params.cam, "train"), nerf=fill(params.nerf, "train"))
+    if stage not in (1, 2):
+        raise ValueError(stage)
+    cam = fill(params.cam, "train")
     if stage == 2:
-        cam = fill(params.cam, "train")._replace(pose_se3="freeze")
-        return Params(cam=cam, nerf=fill(params.nerf, "train"))
-    raise ValueError(stage)
+        cam = cam._replace(pose_se3="freeze")
+    nerf = fill(params.nerf, "train")
+    if freeze_coarse:
+        # coarse-free stages never backprop into the coarse MLP, but with a
+        # "train" label decoupled weight decay `(upd + wd*p)*m` still shrinks
+        # it every step (~0.8% over 16 default fine-tune epochs) — and
+        # occ_refresh_source='coarse' probes that decaying field.  Freeze it
+        # outright so the proposal is bit-stable across coarse-free epochs.
+        nerf = nerf._replace(coarse=fill(params.nerf.coarse, "freeze"))
+    return Params(cam=cam, nerf=nerf)
 
 
-def stage_mask(params: Params, stage: int) -> jnp.ndarray:
+def stage_mask(
+    params: Params, stage: int, freeze_coarse: bool = False
+) -> jnp.ndarray:
     """[N] f32 0/1 trainable mask in ``ravel_pytree(params)`` order."""
-    labels = _stage_labels(params, stage)
+    labels = _stage_labels(params, stage, freeze_coarse)
     mask_tree = jax.tree.map(
         lambda p, lbl: jnp.full(jnp.shape(p), 1.0 if lbl == "train" else 0.0,
                                 jnp.result_type(p)),
@@ -171,7 +183,7 @@ def build_optimizers(
         # self-normalized intr term (the NeRF stages) can both spike
         # gradients by orders of magnitude in single steps
         tx = FlatRAdam(
-            mask=stage_mask(params, stage),
+            mask=stage_mask(params, stage, cfg.nerf.coarse_free_at(stage)),
             lr=lrs[stage],
             weight_decay=tc.weight_decay,
             clip=tc.grad_clip,

@@ -85,6 +85,45 @@ def test_detect_rotated_cube_subpixel():
     assert np.max(errs) < 1.0
 
 
+def test_degenerate_tile_grids_no_crash():
+    """Images 8..16 px in one dimension pass the h,w >= 8 guard but give a
+    one-tile-wide/tall threshold grid; ThreshMap::at used to bilinear-index
+    one tile past the buffer (heap over-read, advisor r4 — verified with an
+    ASAN build).  Drive quads through subpixel refinement on every
+    degenerate shape; the contract is simply no crash / sane output."""
+    rng = np.random.default_rng(0)
+    for shape in [(12, 300), (300, 12), (9, 120), (15, 200), (12, 12)]:
+        g = np.full(shape, 255, np.uint8)
+        h, w = shape
+        for x0 in range(1, w - 9, 20):
+            g[1 : min(h - 1, 9), x0 : x0 + 8] = 0
+        dets = detect_tags(g)
+        assert isinstance(dets, list)
+        noise = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert isinstance(detect_tags(noise), list)
+
+
+def test_detect_very_large_tag():
+    """A close-range tag whose black border band is wider than the 3x3-tile
+    (48 px) contrast window: the border ring crosses contrast-free tiles,
+    which must count as dark-valid (uniform black interior) or the ring
+    splits into arcs and the tag is lost (advisor r4).  512 px span ->
+    64 px band."""
+    for scale in (48, 64):  # 384 / 512 px spans
+        bm = tag_bitmap(3).astype(np.uint8)
+        tag = np.kron(bm * 255, np.ones((scale, scale), np.uint8))
+        m = 60
+        img = np.full((tag.shape[0] + 2 * m, tag.shape[1] + 2 * m), 255,
+                      np.uint8)
+        img[m : m + tag.shape[0], m : m + tag.shape[1]] = tag
+        dets = detect_tags(img)
+        assert [d.tag_id for d in dets] == [3], f"span {8*scale}px"
+        want = np.array(
+            [[m, m], [m + 8 * scale, m], [m + 8 * scale, m + 8 * scale],
+             [m, m + 8 * scale]], np.float64)
+        assert np.abs(dets[0].corners - want).max() < 1.5
+
+
 def test_no_false_positives_on_blank():
     img = np.full((200, 200), 255, np.uint8)
     assert detect_tags(img) == []

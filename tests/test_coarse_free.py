@@ -209,6 +209,74 @@ def test_coarse_free_at_stage_logic():
     assert not off.coarse_free_at(2)
 
 
+def test_stage_mask_freezes_coarse_in_coarse_free_stages():
+    """Coarse-free stages must freeze the coarse MLP OUTRIGHT: its grads
+    are identically zero, but a 'train' label still applies decoupled
+    weight decay ``(upd + wd*p)*m`` every step (~0.8%/16 epochs), and
+    occ_refresh_source='coarse' probes that decaying field (advisor r4)."""
+    from mc_nerf_tpu.config import Config, StageConfig, TrainConfig
+    from mc_nerf_tpu.models.camera_params import init_camera_params
+    from mc_nerf_tpu.train.optim import (
+        Params,
+        _stage_labels,
+        build_optimizers,
+        stage_mask,
+    )
+
+    nerf_cfg = NerfConfig(
+        samples_coarse=32, sample_scale=4, fine_bins_topk=8, emb_freqs_xyz=6,
+        coarse_depth=2, coarse_width=32, coarse_skips=(1,),
+        fine_depth=2, fine_width=32, fine_skips=(1,),
+        coarse_free=True, coarse_free_from_stage=2,
+    )
+    params = Params(
+        cam=init_camera_params(4),
+        nerf=init_nerf_params(jax.random.PRNGKey(0), nerf_cfg),
+    )
+
+    frozen = _stage_labels(params, 2, freeze_coarse=True)
+    assert all(l == "freeze" for l in jax.tree.leaves(frozen.nerf.coarse))
+    assert all(l == "train" for l in jax.tree.leaves(frozen.nerf.fine))
+    default = _stage_labels(params, 2)
+    assert all(l == "train" for l in jax.tree.leaves(default.nerf.coarse))
+
+    # build_optimizers wires freeze_coarse from cfg.nerf.coarse_free_at
+    cfg = Config(
+        stages=StageConfig(
+            cam_param_epochs=1, global_opt_epochs=1, fine_tune_epochs=1
+        ),
+        train=TrainConfig(rays_per_batch=64, steps_per_image_epoch=2,
+                          weight_decay=0.1),
+        nerf=nerf_cfg,
+        compute_dtype="float32",
+    )
+    txs, opt_states = build_optimizers(cfg, params, steps_per_epoch=2)
+    m1 = stage_mask(params, 1)                       # stage 1: not cf yet
+    m2 = stage_mask(params, 2, freeze_coarse=True)   # stage 2: cf
+    np.testing.assert_array_equal(np.asarray(txs[1].mask), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(txs[2].mask), np.asarray(m2))
+
+    # the coarse slice (trainable at stage 1, frozen at stage 2) is
+    # bit-stable under an update even with nonzero weight decay
+    coarse_idx = np.where(
+        (np.asarray(m1) == 1.0) & (np.asarray(m2) == 0.0)
+    )[0]
+    assert coarse_idx.size > 0
+    from jax.flatten_util import ravel_pytree
+
+    p_flat, _ = ravel_pytree(params)
+    g = jax.random.normal(jax.random.PRNGKey(3), p_flat.shape)
+    st = txs[2].init(p_flat)
+    p_new, _ = txs[2].update(g, st, p_flat)
+    np.testing.assert_array_equal(
+        np.asarray(p_new)[coarse_idx], np.asarray(p_flat)[coarse_idx]
+    )
+    assert not np.array_equal(
+        np.asarray(p_new)[np.asarray(m2) == 1.0],
+        np.asarray(p_flat)[np.asarray(m2) == 1.0],
+    )
+
+
 @pytest.mark.parametrize(
     "refresh,expect_sources",
     [
