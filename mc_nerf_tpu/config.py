@@ -67,6 +67,12 @@ class TrainConfig:
     # by orders of magnitude in single steps.  0 disables (reference
     # behavior); at norm 10 the clip rarely binds on healthy runs.
     grad_clip: float = 10.0
+    # checkpoint retention (extension — the reference keeps every epoch,
+    # model/mc_nerf.py:738-752, which fills /tmp-backed disks at 52 epochs
+    # x full train state): keep the newest N checkpoints, PLUS every stage
+    # boundary (the seeds demo-by-epoch and mid-protocol A/Bs restore
+    # from).  0 = keep everything (reference parity).
+    ckpt_max_keep: int = 5
     warmup_epoch: int = 100          # carried from the reference yaml (unused there too)
     rays_per_batch: int = 7000       # rays sampled per image per step (ref yaml `batch`)
     images_per_batch: int = 1        # images per step *per device* (ref: 1 via BatchSampler)
@@ -259,6 +265,12 @@ class NerfConfig:
     # it down exactly the way the two-pass coarse pass does.  Eval keeps
     # the pure PMF (exploration is a training need).  0 disables.
     cf_uniform_samples: int = 0
+    # Escape hatch for the TRAINING guard-rails (Engine.__init__): configs
+    # the attribution matrix measured as always-collapsing — coarse-free
+    # training from stage 1 (~6 PSNR, five takes) and occ_pmf="density"
+    # training (12.0 -> 8.1 PSNR) — are refused unless this is set.  For
+    # measurement harnesses re-running those experiments, never production.
+    allow_measured_harmful: bool = False
 
     @property
     def samples_fine_grid(self) -> int:
@@ -433,6 +445,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                        default=cfg.train.use_pallas),
         grad_clip=get(sys_info, "train_params", "grad_clip",
                       default=cfg.train.grad_clip),
+        ckpt_max_keep=get(sys_info, "train_params", "ckpt_max_keep",
+                          default=cfg.train.ckpt_max_keep),
     )
     barf = BarfConfig(
         mask=get(model, "barf", "barf_mask", default=cfg.barf.mask),
@@ -479,6 +493,8 @@ def load_yaml(path: str, base: Optional[Config] = None) -> Config:
                                default=cfg.nerf.occ_refresh_source),
         cf_uniform_samples=get(model, "nerf", "cf_uniform_samples",
                                default=cfg.nerf.cf_uniform_samples),
+        allow_measured_harmful=get(model, "nerf", "allow_measured_harmful",
+                                   default=cfg.nerf.allow_measured_harmful),
     )
     evalc = dataclasses.replace(
         cfg.eval,

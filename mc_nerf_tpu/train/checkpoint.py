@@ -10,7 +10,7 @@ round-trips, so training is resumable by construction (SURVEY.md §5).
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Iterable, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -18,10 +18,21 @@ import orbax.checkpoint as ocp
 from mc_nerf_tpu.train.steps import TrainState
 
 
-def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+def _manager(
+    ckpt_dir: str,
+    max_to_keep: Optional[int] = None,
+    keep_epochs: Iterable[int] = (),
+) -> ocp.CheckpointManager:
+    keep = frozenset(keep_epochs)
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            # stage-boundary epochs survive pruning regardless of
+            # max_to_keep: they seed demo-by-epoch and mid-protocol A/Bs
+            should_keep_fn=(keep.__contains__ if keep else None),
+            create=True,
+        ),
     )
 
 
@@ -33,15 +44,24 @@ class Checkpointer:
     blocks its epoch loop on ``torch.save``, ``model/mc_nerf.py:738-752``).
     ``restore``/``latest_epoch`` first drain any in-flight save so a
     train-then-demo process never reads a half-written step.
+
+    ``max_keep`` bounds retention to the newest N epochs (0 = keep every
+    epoch, the reference's behavior); epochs in ``keep_epochs`` — the
+    engine passes its stage boundaries — are never pruned.
     """
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(
+        self, ckpt_dir: str, max_keep: int = 0,
+        keep_epochs: Iterable[int] = (),
+    ):
         self._dir = ckpt_dir
+        self._max_keep = max_keep if max_keep and max_keep > 0 else None
+        self._keep_epochs = tuple(keep_epochs)
         self._mgr: Optional[ocp.CheckpointManager] = None
 
     def _manager(self) -> ocp.CheckpointManager:
         if self._mgr is None:
-            self._mgr = _manager(self._dir)
+            self._mgr = _manager(self._dir, self._max_keep, self._keep_epochs)
         return self._mgr
 
     def save(self, epoch: int, state: TrainState) -> None:

@@ -136,6 +136,45 @@ class Engine:
                 "eval.fine_mode='importance' — the occupancy grid is the "
                 "sampling proposal"
             )
+        # measured-harmful TRAINING guard-rails (VERDICT r4 ask #5): these
+        # combinations collapsed in EVERY take of the round-4 attribution
+        # matrix (BASELINE.md round 4) — a config system that types-checks
+        # a documented 6-PSNR footgun is half a config system.  Demo mode
+        # (cfg.mode == 1) renders existing checkpoints and is unaffected.
+        if cfg.mode == 0 and not cfg.nerf.allow_measured_harmful:
+            if cfg.nerf.coarse_free and cfg.nerf.coarse_free_from_stage == 1:
+                raise ValueError(
+                    "nerf.coarse_free with coarse_free_from_stage=1 trains "
+                    "the field from scratch on the grid PMF alone and "
+                    "collapsed to ~6 PSNR in all five measured takes "
+                    "(BASELINE.md round 4).  Use the hybrid schedule "
+                    "(coarse_free_from_stage=2), or set "
+                    "nerf.allow_measured_harmful=True to re-run the "
+                    "experiment anyway"
+                )
+            if cfg.nerf.occ_pmf == "density":
+                raise ValueError(
+                    "nerf.occ_pmf='density' is measured HARMFUL for "
+                    "training in every schedule — concentrated-PMF sampling "
+                    "starves the field of spread empty-space supervision "
+                    "(FINE_TUNE collapses 12.0 -> 8.1 PSNR, BASELINE.md "
+                    "round 4).  Keep 'binary' for training, or set "
+                    "nerf.allow_measured_harmful=True to re-run the "
+                    "experiment anyway"
+                )
+        if (
+            cfg.nerf.coarse_free
+            and cfg.nerf.coarse_free_from_stage == 1
+            and cfg.eval.coarse_free is False
+            and not cfg.nerf.allow_measured_harmful
+        ):
+            raise ValueError(
+                "eval.coarse_free=False forces two-pass eval, but "
+                "coarse_free_from_stage=1 never trains a coarse MLP to "
+                "propose from — that override silently renders garbage "
+                "(advisor r4).  Drop the override or use the hybrid "
+                "schedule (coarse_free_from_stage=2)"
+            )
         setup_logging(cfg.paths.log_path, cfg.log_to_file)
         logging.info("Loading scene: %s", cfg.scene_dir)
         self.scene = scene or load_scene(cfg.scene_dir, load_test_images=(cfg.mode == 1))
@@ -184,8 +223,19 @@ class Engine:
             cfg.paths.root_weights, "train", f"{cfg.data_name}"
         )
         # one manager for the Engine's lifetime; per-epoch saves are async
-        # (the manager is created lazily on first use inside Checkpointer)
-        self.ckpt = ckpt_lib.Checkpointer(self.ckpt_dir)
+        # (the manager is created lazily on first use inside Checkpointer).
+        # Retention: newest train.ckpt_max_keep epochs + the stage-boundary
+        # epochs (demo-by-epoch / A/B seeds); 0 keeps everything.
+        st = cfg.stages
+        self.ckpt = ckpt_lib.Checkpointer(
+            self.ckpt_dir,
+            max_keep=cfg.train.ckpt_max_keep,
+            keep_epochs=(
+                st.cam_param_epochs - 1,
+                st.cam_param_epochs + st.global_opt_epochs - 1,
+                st.total_epochs - 1,
+            ),
+        )
         self.writer = ScalarWriter(
             os.path.join(cfg.paths.tb_path, cfg.data_name),
             delete_old=cfg.paths.tb_delete_old,
@@ -624,17 +674,48 @@ class Engine:
                 # (= uniform sampling), the same state train-side warmup uses
                 occ = uniform_prior_map(cfg.nerf)
 
-        stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+        # Under multi-process the view loop is SHARDED over processes
+        # (round-robin) and per-view scores are summed back with one
+        # allgather: each output file is written exactly once, and every
+        # rank returns the identical result dict.  The reference instead
+        # rank-gates its whole eval (``model/mc_nerf.py:747-759``) —
+        # sharding gives the same single-writer guarantee plus an N-process
+        # render speedup.  The directory stamp must agree across ranks, so
+        # rank 0's clock wins.
+        n_proc, pidx = jax.process_count(), jax.process_index()
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            t0 = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(int(time.time()), np.int64)
+                )
+            )
+            stamp = time.strftime("%Y-%m-%d-%H-%M-%S", time.localtime(t0))
+        else:
+            stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
         base = os.path.join(cfg.paths.render_dir + "_" + stamp)
         dirs = {k: os.path.join(base, k) for k in ("pred", "depth", "gt")}
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
 
-        scores = {"psnr": [], "ssim": [], "lpips": []}
+        # per-view rows: [psnr, ssim, lpips, lpips_valid] — zeros for views
+        # this rank does not own, so a cross-process sum reassembles all
+        per_view = np.zeros((test.count, 4), np.float64)
         # local copies under multi-process (the render mesh is local-only)
         nerf_local = self._to_local(self.state.params.nerf)
         occ_local = None if occ is None else self._to_local(occ)
-        for i in range(test.count):
+        if self.render_mesh is not None:
+            # a fresh demo-mode restore leaves arrays committed to one
+            # device; the render shard_map needs them replicated over the
+            # (local) render mesh
+            rep = jax.sharding.NamedSharding(
+                self.render_mesh, jax.sharding.PartitionSpec()
+            )
+            nerf_local = jax.device_put(nerf_local, rep)
+            if occ_local is not None:
+                occ_local = jax.device_put(occ_local, rep)
+        for i in range(pidx, test.count, n_proc):
             rgb, depth, opacity = render(
                 nerf_local,
                 jnp.asarray(test.poses_w2c[i]),
@@ -643,11 +724,11 @@ class Engine:
             )
             pred = np.asarray(rgb)
             gt = test.images_u8[i].astype(np.float32) / 255.0
-            scores["psnr"].append(float(psnr(jnp.asarray(pred), jnp.asarray(gt))))
-            scores["ssim"].append(float(ssim(jnp.asarray(pred), jnp.asarray(gt))))
+            per_view[i, 0] = float(psnr(jnp.asarray(pred), jnp.asarray(gt)))
+            per_view[i, 1] = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
             lp = lpips(pred, gt)
             if lp is not None:
-                scores["lpips"].append(lp)
+                per_view[i, 2:] = (lp, 1.0)
 
             name = str(i).zfill(4)
             Image.fromarray((np.clip(pred, 0, 1) * 255).astype(np.uint8)).save(
@@ -663,15 +744,22 @@ class Engine:
                 os.path.join(dirs["depth"], name + "depth.png")
             )
 
+        if n_proc > 1:
+            per_view = np.asarray(
+                multihost_utils.process_allgather(per_view)
+            ).sum(axis=0)
+
+        n_lpips = per_view[:, 3].sum()
         result = {
-            "psnr": float(np.mean(scores["psnr"])),
-            "ssim": float(np.mean(scores["ssim"])),
-            "lpips": float(np.mean(scores["lpips"])) if scores["lpips"] else None,
+            "psnr": float(per_view[:, 0].mean()),
+            "ssim": float(per_view[:, 1].mean()),
+            "lpips": float(per_view[:, 2].sum() / n_lpips) if n_lpips else None,
             "count": test.count,
             "out_dir": base,
         }
-        print(f"Results ({cfg.data_name})")
-        print(f"PSNR: {result['psnr']}")
-        print(f"SSIM: {result['ssim']}")
-        print(f"LPIP: {result['lpips'] if result['lpips'] is not None else 'n/a (no weights)'}")
+        if is_main_process():
+            print(f"Results ({cfg.data_name})")
+            print(f"PSNR: {result['psnr']}")
+            print(f"SSIM: {result['ssim']}")
+            print(f"LPIP: {result['lpips'] if result['lpips'] is not None else 'n/a (no weights)'}")
         return result

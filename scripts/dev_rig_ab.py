@@ -198,6 +198,9 @@ def run_one(rig: str, config: str) -> dict:
             occ_pmf=c.get("pmf", "binary"),
             occ_refresh_source=c.get("refresh", "auto"),
             cf_uniform_samples=c.get("cf_uniform", 0),
+            # this harness EXISTS to measure the configs the engine
+            # guard-rails refuse (BASELINE.md round-4 attribution matrix)
+            allow_measured_harmful=True,
         ),
         eval=EvalConfig(
             res_h=RES, res_w=RES,

@@ -144,6 +144,9 @@ def test_engine_coarse_free_cycle(tmp_path):
         nerf=dataclasses.replace(
             cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
             occ_probes=16,
+            # from_stage=1 training is guard-railed (measured collapse,
+            # BASELINE.md round 4); this test covers the MECHANICS only
+            allow_measured_harmful=True,
         ),
     )
     engine = Engine(cfg)
@@ -185,6 +188,9 @@ def test_engine_coarse_free_density_pmf_cycle(tmp_path):
         nerf=dataclasses.replace(
             cfg.nerf, occ_grid_size=8, occ_warmup_steps=0, coarse_free=True,
             occ_probes=16, occ_pmf="density",
+            # density-PMF training is guard-railed (measured collapse,
+            # BASELINE.md round 4); this test covers the MECHANICS only
+            allow_measured_harmful=True,
         ),
     )
     engine = Engine(cfg)
@@ -463,6 +469,44 @@ def test_hybrid_demo_two_pass_eval_override(tmp_path):
     result = Engine(demo_cfg).demo()
     assert result["count"] == 2
     assert np.isfinite(result["psnr"])
+
+
+def test_engine_guardrails_measured_harmful(tmp_path):
+    """Configs the round-4 attribution matrix measured as ALWAYS collapsing
+    are refused for training (VERDICT r4 ask #5) unless
+    nerf.allow_measured_harmful is set; demo mode is unaffected."""
+    from mc_nerf_tpu.train.engine import Engine
+
+    from tests.test_engine import small_cfg
+
+    cfg = small_cfg(str(tmp_path / "nonexistent"), str(tmp_path / "out"))
+    # coarse-free training from stage 1: ~6 PSNR in all five takes
+    with pytest.raises(ValueError, match="allow_measured_harmful"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_grid_size=8, coarse_free=True)))
+    # density-PMF training: 12.0 -> 8.1 PSNR collapse
+    with pytest.raises(ValueError, match="allow_measured_harmful"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_pmf="density")))
+    # two-pass eval override on a model that never trains a coarse MLP
+    # renders garbage (advisor r4) — refused in any mode
+    with pytest.raises(ValueError, match="two-pass eval"):
+        Engine(cfg.replace(
+            mode=1,
+            nerf=dataclasses.replace(
+                cfg.nerf, occ_grid_size=8, coarse_free=True),
+            eval=dataclasses.replace(cfg.eval, coarse_free=False),
+        ))
+    # demo mode renders existing (however-trained) checkpoints: the
+    # training guards must NOT fire — construction proceeds to scene
+    # loading (and only fails on the nonexistent dir)
+    with pytest.raises(Exception, match="nonexistent|No such"):
+        Engine(cfg.replace(mode=1, nerf=dataclasses.replace(
+            cfg.nerf, occ_pmf="density")))
+    # the escape hatch reaches scene loading in train mode too
+    with pytest.raises(Exception, match="nonexistent|No such"):
+        Engine(cfg.replace(nerf=dataclasses.replace(
+            cfg.nerf, occ_pmf="density", allow_measured_harmful=True)))
 
 
 def test_engine_rejects_bad_from_stage(tmp_path):

@@ -119,6 +119,7 @@ system:
         remat_shade: True
         use_pallas: True
         grad_clip: 5.0
+        ckpt_max_keep: 3
     test_params:
         fine_mode: 'grid'
         importance_samples: 48
@@ -142,6 +143,7 @@ model:
         coarse_free_from_stage: 2
         occ_refresh_source: 'fine'
         cf_uniform_samples: 4
+        allow_measured_harmful: True
 """
     )
     cfg = load_yaml(str(p))
@@ -152,6 +154,7 @@ model:
     assert cfg.train.remat_shade is True
     assert cfg.train.use_pallas is True
     assert cfg.train.grad_clip == 5.0
+    assert cfg.train.ckpt_max_keep == 3
     assert cfg.eval.fine_mode == "grid"
     assert cfg.eval.importance_samples == 48
     assert cfg.eval.rays_per_chunk == 8192
@@ -171,6 +174,7 @@ model:
     assert cfg.nerf.coarse_free_from_stage == 2
     assert cfg.nerf.occ_refresh_source == "fine"
     assert cfg.nerf.cf_uniform_samples == 4
+    assert cfg.nerf.allow_measured_harmful is True
     assert cfg.eval.coarse_free is False
     # the eval-side override beats the train-side mode
     assert cfg.eval_coarse_free is False

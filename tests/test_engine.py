@@ -76,6 +76,55 @@ def test_engine_full_cycle(scene_dir, tmp_path):
     assert len(os.listdir(os.path.join(result["out_dir"], "depth"))) == 2
 
 
+def test_checkpoint_retention_pruning(tmp_path):
+    """ckpt_max_keep bounds retention to the newest N epochs while epochs in
+    ``keep_epochs`` (the engine passes stage boundaries) survive pruning;
+    restore from a kept epoch still round-trips (VERDICT r4 ask #7)."""
+    from mc_nerf_tpu.train.checkpoint import Checkpointer
+    from mc_nerf_tpu.train.steps import TrainState
+
+    def st(e):
+        return TrainState(
+            params=jnp.full((4,), float(e)),
+            opt_states=(jnp.zeros((2,)),),
+            step=jnp.asarray(e, jnp.int32),
+        )
+
+    ck = Checkpointer(str(tmp_path / "ck"), max_keep=2, keep_epochs=(1, 3))
+    for e in range(7):
+        ck.save(e, st(e))
+    ck.wait()
+    kept = sorted(int(n) for n in os.listdir(str(tmp_path / "ck")) if n.isdigit())
+    assert kept == [1, 3, 5, 6]
+    restored, ep = ck.restore(st(0), 3)
+    assert ep == 3
+    np.testing.assert_allclose(np.asarray(restored.params), 3.0)
+    ck.close()
+
+
+def test_engine_ckpt_max_keep_demo_by_epoch(scene_dir, tmp_path):
+    """Engine-level pruning: a 5-epoch run at ckpt_max_keep=1 keeps only
+    the stage boundaries + the newest epoch, and demo-by-epoch restores
+    from a kept boundary after pruning."""
+    import dataclasses
+
+    cfg = small_cfg(scene_dir, str(tmp_path))
+    cfg = cfg.replace(
+        stages=StageConfig(
+            cam_param_epochs=1, global_opt_epochs=1, fine_tune_epochs=3
+        ),
+        train=dataclasses.replace(cfg.train, ckpt_max_keep=1),
+    )
+    engine = Engine(cfg)
+    engine.train()
+    engine.ckpt.wait()
+    kept = sorted(int(n) for n in os.listdir(engine.ckpt_dir) if n.isdigit())
+    assert kept == [0, 1, 4]  # stage boundaries 0/1/4; 2 and 3 pruned
+
+    result = Engine(cfg.replace(mode=1)).demo(ckpt_epoch=1)
+    assert np.isfinite(result["psnr"])
+
+
 def test_engine_builds_calibration_cache_from_rendered_scene(tmp_path):
     """Real-data ingestion: a Blender-format scene with calib/coord images
     but NO detection cache trains end-to-end — the engine runs the C++

@@ -60,6 +60,14 @@ _WORKER = textwrap.dedent(
         np.asarray(x).ravel() for x in jax.tree.leaves(state2.params)
     ])
     print(f"RESUME_MATCH {int(np.allclose(flat, flat2, atol=1e-6))}", flush=True)
+
+    # multi-process demo (VERDICT r4 ask #4): the view loop is sharded
+    # round-robin over processes; every rank must return the identical
+    # result dict and each output file must be written exactly once
+    res = Engine(cfg.replace(mode=1)).demo()
+    print(f"DEMO_PSNR {res['psnr']:.6f}", flush=True)
+    print(f"DEMO_SSIM {res['ssim']:.6f}", flush=True)
+    print(f"DEMO_DIR {res['out_dir']}", flush=True)
     print("WORKER_DONE", flush=True)
     """
 )
@@ -117,6 +125,24 @@ def test_two_process_end_to_end_train(tmp_path):
     steps = {grab(o, "FINAL_STEP") for o in outs}
     assert len(steps) == 1
 
+    # multi-process demo: both ranks agree on the output dir (broadcast
+    # stamp) and on the gathered scores; each view file exists exactly once
+    demo_dirs = {grab(o, "DEMO_DIR") for o in outs}
+    assert len(demo_dirs) == 1, demo_dirs
+    demo_dir = demo_dirs.pop()
+    import glob as _glob
+
+    preds = _glob.glob(os.path.join(demo_dir, "pred", "*.png"))
+    assert len(preds) == 2, preds  # n_test views, one file each
+    # exactly one stamped render dir — no per-rank duplicate trees
+    prefix = os.path.basename(demo_dir).rsplit("_", 1)[0] + "_"
+    stamped = [d for d in os.listdir(os.path.dirname(demo_dir))
+               if d.startswith(prefix)]
+    assert len(stamped) == 1, stamped
+    demo_psnrs = {grab(o, "DEMO_PSNR") for o in outs}
+    assert len(demo_psnrs) == 1, demo_psnrs  # allgathered: identical dicts
+    psnr_mp = float(demo_psnrs.pop())
+
     # loss/param parity with a single-process run over the SAME 4-device
     # mesh (identical PRNG keys, identical global batch semantics)
     p = _launch(script, addr, 1, 0, scene_dir, str(tmp_path / "out_sp"), env)
@@ -126,3 +152,7 @@ def test_two_process_end_to_end_train(tmp_path):
     assert abs(sums[0] - sum_sp) <= 1e-3 * max(1.0, abs(sum_sp)), (
         f"multi-process {sums[0]} vs single-process {sum_sp}"
     )
+    # demo parity: the sharded multi-process render scores what the
+    # single-process render scores (same replicated params to ~1e-6)
+    psnr_sp = float(grab(out_sp, "DEMO_PSNR"))
+    assert abs(psnr_mp - psnr_sp) < 0.05, (psnr_mp, psnr_sp)
