@@ -268,9 +268,10 @@ def render_rays_train(
     )
     basis = sh_basis(cfg.sh_deg, rays_d)                            # [R, B]
 
-    # (the historical s=64 Mosaic fault is handled inside fused_render:
-    # quarantined sample counts run padded with zero-delta phantom samples
-    # — ops/pallas/fused_render._QUARANTINED_S — so no routing guard here)
+    # (pathological sample counts are handled inside fused_render — the
+    # quarantine pad table ops/pallas/fused_render._QUARANTINED_S, empty
+    # since the round-5 sweep retired the s=64 fault, and the measured
+    # support ceiling _MAX_FUSED_S=160 — so no routing guard here)
     if use_pallas and fine_mode == "importance":
         # fully-fused path: MLP + SH shading + composite in one pallas call
         # per pass (ops/pallas/fused_render.py) — the per-sample [P, 8]

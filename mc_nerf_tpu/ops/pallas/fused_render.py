@@ -71,13 +71,16 @@ def _block_rays(rays: int, s: int) -> int:
     train scale) vanish entirely — keeping block <= 2048 points so the
     [block, block] segment matrix stays <= 16 MB VMEM.  When rays has no
     such divisor, fall back to block_r=16 and pad the ray axis (the call
-    sites already pad to a block_r multiple).  block_r=8 is quarantined:
-    it miscompiled on the v5e (TPU worker kernel fault), so it must never
-    be selected — for s > 512 (where 16 rays/block would blow the VMEM
-    budget) the fused path refuses instead of risking the faulting size."""
+    sites already pad to a block_r multiple).  block_r=8 is never selected:
+    the round-2 miscompile that motivated this is retired (it probed clean
+    in round 5 — benchmarks/fused_fault_s64_probes.jsonl), but 8 would only
+    be preferred at sample counts the support ceiling (``_MAX_FUSED_S``)
+    already refuses, so it stays deselected as an unprobed geometry rather
+    than a known-bad one.  The s > 512 refusal below is a backstop for the
+    raw-probe escape hatch; production calls hit the ceiling first."""
     cap = max(8, 2048 // s)
     best = 0
-    r = 16  # block_r=8 miscompiled on the v5e (TPU worker kernel fault)
+    r = 16  # 8 stays deselected: unprobed at the sizes where it would win
     while r <= cap:
         if rays % r == 0:
             best = r
@@ -87,29 +90,63 @@ def _block_rays(rays: int, s: int) -> int:
     if s > 512:
         raise ValueError(
             f"fused_render: no safe ray-block for s={s} (block_r=16 exceeds "
-            f"the VMEM budget and block_r=8 is quarantined); use the shaded "
-            f"kernel + XLA composite path instead"
+            f"the VMEM budget and block_r=8 is unprobed at this size); use "
+            f"the shaded kernel + XLA composite path instead"
         )
     return 16
 
 
-# Sample counts whose composite-backward codegen faults on the v5e
-# (kernel fault -> TPU worker restart), mapped to the padded count that
-# compiles cleanly.  The pad is EXACT: phantom samples ride with delta=0
-# (alpha=0, weight=0, zero cotangents — verified against the XLA composite
-# in tests/test_fused_render.py), so s=64 runs the fused path at s=72
-# instead of detouring to a different algorithm.  Repro/bisect harness:
-# scripts/dev_fault_repro.py; s=48/32 and fwd-only s=64 were always clean.
-_QUARANTINED_S = {64: 72}
+# Sample counts whose composite-backward codegen faults on the current
+# platform, mapped to a padded count that compiles cleanly.  The pad is
+# EXACT: phantom samples ride with delta=0 (alpha=0, weight=0, zero
+# cotangents — verified against the XLA composite in
+# tests/test_fused_render.py).  The table is EMPTY as of round 5: the
+# round-2 s=64 backward fault (ray blocks of 1536/512 points, block_r
+# 24/8) no longer reproduces anywhere on the current worker stack — the
+# kernel is byte-identical since the quarantine commit, so the fix was
+# platform-side.  Evidence (all on-chip, v5e):
+#   benchmarks/fused_fault_sweep.jsonl      raw s=16..160 fwd+bwd all ok at
+#                                           the production block selector
+#   benchmarks/fused_fault_s64_probes.jsonl raw s=64 ok at block_r
+#                                           16 (x3), 24 (x2), 8, 32
+#   benchmarks/fused_fault_s64_equiv.jsonl  raw s=64 fwd/bwd VALUES equal
+#                                           the XLA composite math at every
+#                                           block_r (max rel err 2.6e-4,
+#                                           identical across geometries)
+# The mechanism stays (and stays tested via monkeypatching) so any future
+# sweep hit can be quarantined by adding one entry here.
+# Repro/bisect harness: scripts/dev_fault_repro.py.
+_QUARANTINED_S: dict = {}
+
+# Measured support ceiling for the fused composite path, round-5 sweep
+# (benchmarks/fused_fault_sweep.jsonl): raw s=16..160 compile + run clean;
+# s=168 and s>=184 fail at COMPILE time with a scoped-VMEM OOM in the
+# backward's stack allocation ("Ran out of memory in memory space vmem
+# ... %_render_bwd_call") — a clean AOT error, not a miscompile, but one
+# that wedges this image's tunneled TPU worker for 10+ minutes.  s=176
+# happens to fit, so the envelope is not monotonic; the path refuses
+# everything above the last contiguous clean size instead of letting a
+# user config discover the cliff.  (This subsumes the old s>512 refusal.)
+_MAX_FUSED_S = 160
 
 
 def _safe_s(s: int) -> int:
     # Escape hatch for the fault-surface sweep (scripts/dev_fault_sweep.py):
-    # probe the RAW geometry, bypassing the quarantine pad.  A faulting cell
-    # crashes the TPU worker — never set this outside the sweep harness.
+    # probe the RAW geometry, bypassing quarantine pads and the support
+    # ceiling.  A faulting cell crashes the TPU worker — never set this
+    # outside the sweep harness.
     if os.environ.get("MC_NERF_FUSED_RAW_S"):
         return s
-    return _QUARANTINED_S.get(s, s)
+    s = _QUARANTINED_S.get(s, s)
+    if s > _MAX_FUSED_S:
+        raise ValueError(
+            f"fused_render: s={s} samples/ray exceeds the measured support "
+            f"ceiling ({_MAX_FUSED_S}) — the composite backward's VMEM "
+            f"stack allocation fails to compile above it (see "
+            f"benchmarks/fused_fault_sweep.jsonl); use the shaded kernel + "
+            f"XLA composite path (use_pallas=False) for larger budgets"
+        )
+    return s
 
 
 def _pad_sample_axis(x_flat: jnp.ndarray, rays: int, s: int, s_k: int,

@@ -62,8 +62,17 @@ def _probe_cell(s: int, rays: int, block_r: int, fwd_only: bool,
         r = subprocess.run(cmd, env=env, capture_output=True, text=True,
                            timeout=timeout)
         status = "ok" if r.returncode == 0 else "fault"
-        detail = (r.stdout + r.stderr).strip().splitlines()
-        detail = detail[-1][:200] if detail else ""
+        lines = (r.stdout + r.stderr).strip().splitlines()
+        detail = lines[-1][:200] if lines else ""
+        if status == "fault":
+            # surface the actual failure class, not JAX's traceback-filtering
+            # notice: prefer the raising exception line / XLA status line
+            markers = ("RESOURCE_EXHAUSTED", "XlaRuntimeError", "INTERNAL:",
+                       "Mosaic", "vmem", "VMEM", "Error:", "error:")
+            hits = [l.strip() for l in lines
+                    if any(m in l for m in markers)]
+            if hits:
+                detail = hits[-1][:300]
     except subprocess.TimeoutExpired:
         status, detail = "timeout", ""
     return dict(s=s, rays=rays, block_r=block_r,
@@ -142,6 +151,13 @@ def cmd_run(args) -> None:
             if key in done:
                 continue
             pad = _QUARANTINED_S.get(s)
+            if pad is None:
+                # no quarantine mapping: _safe_s(s) == s, so raw=False is
+                # byte-identical geometry — probing it is a duplicate fault
+                print(f"s={s}: no quarantine pad mapping — raw=False would "
+                      "re-run the identical geometry; reported for "
+                      "quarantine-table extension instead", flush=True)
+                continue
             v = _probe_cell(s, args.rays, rec["block_r"],
                             rec["mode"] == "fwd", raw=False)
             v["quarantine_pad"] = pad
